@@ -1,0 +1,159 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a numpy matmul against it and
+  emits only its LOCAL top-k per query (k rows per query per batch — the
+  partial-aggregation pattern), and the driver merges the tiny partials.
+  The corpus streams; nothing shuffles.
+* ``IVFIndex`` — the scale path: k-means centroids fit on a sample,
+  cluster id assigned per row in one vectorized pass, searches probe only
+  ``nprobe`` clusters (a broadcast cluster-id filter), then brute-force
+  within the probed subset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+def _as_matrix(emb_chunked, n: int) -> np.ndarray:
+    emb = emb_chunked.combine_chunks()
+    flat = np.asarray(emb.flatten(), dtype=np.float32)
+    return flat.reshape(n, flat.size // n)
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return V / norms
+
+
+class _PartialTopK:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str):
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        V = _normalize(_as_matrix(batch[self.emb_col], n).astype(np.float64))
+        S = V @ self.Q.T  # (n, q)
+        ids = np.asarray(batch[self.id_col])
+        k = min(self.k, n)
+        top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, q)
+        q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
+        rows = top.T.reshape(-1)  # per query, its k row indices
+        return pa.table(
+            {
+                "query_idx": pa.array(q_idx.astype(np.int32)),
+                self.id_col: pa.array(ids[rows]),
+                "cos": pa.array(S[rows, q_idx], pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency=(1, 8),
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k → DataFrame (query_idx, id, cos, rank).
+
+    Deterministic tie-break: (-cos, id).
+    """
+    queries = np.atleast_2d(queries)
+    qref = ray.put(queries)
+    # over-fetch so post-hoc exclusion can never displace a true top-k hit
+    k_local = k + (len(exclude_ids) if exclude_ids else 0)
+    partials = ds.map_batches(
+        _PartialTopK,
+        fn_constructor_args=(qref, k_local, emb_col, id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    ).to_pandas()
+    if exclude_ids:
+        partials = partials[~partials[id_col].isin(exclude_ids)]
+    out = (
+        partials.sort_values(["query_idx", "cos", id_col], ascending=[True, False, True])
+        .groupby("query_idx", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    out["rank"] = out.groupby("query_idx").cumcount() + 1
+    return out
+
+
+class IVFIndex:
+    """IVF (inverted-file) ANN: k-means buckets + nprobe search.
+
+    Partitioning assumption: cluster ids are assigned with the SAME fitted
+    centroids everywhere (broadcast); the assignment column can be used as a
+    ``write_parquet(partition_cols=["cluster"])`` layout so searches read
+    only the probed partitions at rest.
+    """
+
+    def __init__(self, n_clusters: int = 16, iters: int = 10, seed: int = 42):
+        self.n_clusters = n_clusters
+        self.iters = iters
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, ds, emb_col: str = "embedding", sample_rows: int = 10_000) -> "IVFIndex":
+        """Lloyd's k-means on a driver-side sample (sample ≪ corpus)."""
+        sample = ds.limit(sample_rows).to_pandas()
+        V = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(self.seed)
+        C = V[rng.choice(len(V), size=min(self.n_clusters, len(V)), replace=False)]
+        for _ in range(self.iters):
+            assign = (V @ C.T).argmax(axis=1)
+            for c in range(len(C)):
+                members = V[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C = _normalize(C)
+        self.centroids = C
+        return self
+
+    def assign(self, ds, emb_col: str = "embedding"):
+        cref = ray.put(self.centroids)
+
+        def tag(batch: pa.Table) -> pa.Table:
+            C = ray.get(cref)
+            V = _normalize(_as_matrix(batch[emb_col], len(batch)).astype(np.float64))
+            cl = (V @ C.T).argmax(axis=1)
+            return batch.append_column("cluster", pa.array(cl.astype(np.int32)))
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    def search(
+        self,
+        assigned_ds,
+        queries: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        """Probe the ``nprobe`` nearest clusters per query, brute-force within."""
+        queries = np.atleast_2d(queries)
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(Q @ self.centroids.T), axis=1)[:, :nprobe]
+        probe_set = pa.array(np.unique(probe).astype(np.int32))
+
+        filtered = assigned_ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["cluster"], value_set=probe_set)),
+            batch_format="pyarrow",
+        )
+        return brute_force_topk(filtered, queries, k=k, emb_col=emb_col, id_col=id_col)

@@ -1,0 +1,181 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All operate on a string column (default ``text``) of a documents table and
+are vectorized per batch: Arrow string kernels where they exist, flattened
+list arithmetic (``np.add.reduceat``) for per-row token statistics.  RE2
+patterns are used throughout so the DuckDB oracles (also RE2) agree exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Word-ish tokens: runs of word chars OR single non-space punctuation —
+# a BPE-style pre-tokenizer shape, RE2-compatible.
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def _list_offsets(lists: pa.ListArray) -> np.ndarray:
+    return lists.offsets.to_numpy(zero_copy_only=False)
+
+
+def _per_row_sum(flat_values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Sum ``flat_values`` segments delimited by list ``offsets`` — the
+    vectorized version of a per-row loop."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = offsets[:-1] < offsets[1:]
+    if flat_values.size:
+        sums = np.add.reduceat(flat_values, offsets[:-1][nonempty])
+        out[nonempty] = sums
+    return out
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text", out_col: str = "n_words") -> pa.Table:
+    """Whitespace token count (split on single spaces, DuckDB
+    ``len(string_split(text, ' '))`` parity — empty segments count)."""
+    lists = pc.split_pattern(batch[text_col], " ")
+    n = pc.list_value_length(lists).cast(pa.int64())
+    return batch.append_column(out_col, n.combine_chunks())
+
+
+def add_bpe_ish_count(batch: pa.Table, text_col: str = "text", out_col: str = "n_bpe") -> pa.Table:
+    """Count of BPE-ish pre-tokens via one RE2 scan
+    (oracle: ``len(regexp_extract_all(text, pattern))``)."""
+    n = pc.count_substring_regex(batch[text_col], BPE_ISH_PATTERN).cast(pa.int64())
+    return batch.append_column(out_col, n.combine_chunks())
+
+
+def add_quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality-scoring features: n_chars_q, n_words, n_stop, stop_ratio,
+    punct_ratio, mean_word_len — all vectorized."""
+    text = batch[text_col].combine_chunks()
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+
+    words = pc.split_pattern(text, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = _list_offsets(words)
+    n_words = np.diff(offsets).astype(np.int64)
+
+    flat = words.flatten()
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    n_stop = _per_row_sum(is_stop.astype(np.int64), offsets)
+
+    n_punct = pc.count_substring_regex(text, r"[^A-Za-z0-9_\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+    nw = np.maximum(n_words, 1)
+    nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1)
+    batch = batch.append_column("n_chars_q", pa.array(n_chars))
+    batch = batch.append_column("n_words", pa.array(n_words))
+    batch = batch.append_column("n_stop", pa.array(n_stop))
+    batch = batch.append_column("stop_ratio", pa.array(n_stop / nw, pa.float64()))
+    batch = batch.append_column("punct_ratio", pa.array(n_punct / nc, pa.float64()))
+    # mean word length over space-split tokens (chars excluding separators)
+    sep = np.maximum(n_words - 1, 0)
+    batch = batch.append_column(
+        "mean_word_len",
+        pa.array((n_chars.to_numpy(zero_copy_only=False) - sep) / nw, pa.float64()),
+    )
+    return batch
+
+
+def add_fingerprint_md5(batch: pa.Table, text_col: str = "text", out_col: str = "fp") -> pa.Table:
+    """Content fingerprint = hex md5 (DuckDB ``md5(text)`` parity)."""
+    fps = [hashlib.md5(s.encode()).hexdigest() if s is not None else None
+           for s in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(fps, pa.string()))
+
+
+def add_rolling_fingerprint(
+    batch: pa.Table, text_col: str = "text", out_col: str = "fp_roll", window: int = 16
+) -> pa.Table:
+    """Karp–Rabin rolling-hash fingerprint: min of rolling window hashes —
+    a winnowing-style content signature robust to concatenation position."""
+    # Mersenne-31 modulus keeps every intermediate < 2^40, safely inside
+    # uint64 (a 2^61-1 modulus would overflow h*base).
+    base, mod = np.uint64(257), np.uint64((1 << 31) - 1)
+    out = np.zeros(len(batch), dtype=np.uint64)
+    for i, s in enumerate(batch[text_col].to_pylist()):
+        if not s:
+            continue
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
+        if len(b) <= window:
+            h = np.uint64(0)
+            for c in b:
+                h = (h * base + c) % mod
+            out[i] = h
+            continue
+        # rolling windows, vectorized over positions
+        pw = np.uint64(1)
+        for _ in range(window - 1):
+            pw = (pw * base) % mod
+        h = np.uint64(0)
+        hs = np.empty(len(b) - window + 1, dtype=np.uint64)
+        for j, c in enumerate(b[:window]):
+            h = (h * base + c) % mod
+        hs[0] = h
+        for j in range(window, len(b)):
+            h = ((h + mod * base - (b[j - window] * pw) % mod) % mod * base + b[j]) % mod
+            hs[j - window + 1] = h
+        out[i] = hs.min()
+    return batch.append_column(out_col, pa.array(out.astype(np.int64)))
+
+
+# ---------------------------------------------------------------------------
+# Language ID: character n-gram profile heuristic (public-knowledge approach:
+# Cavnar & Trenkle '94 n-gram rank profiles, reduced to a tiny stopword/char
+# prior — deterministic, dependency-free).
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "de": ("der", "und", "die", "ist", "nicht"),
+    "fr": ("le", "et", "les", "des", "est"),
+    "es": ("el", "los", "las", "es", "una"),
+    "zh": (),  # CJK detected by codepoint range below
+}
+
+
+class LangIdScorer:
+    """Actor-pool stage: marker sets compiled once per actor in __init__
+    (the reference's per-worker formatter-state pattern, pipeline.go:81-98)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "pred_lang"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.markers = {
+            lang: pa.array(words) for lang, words in _LANG_MARKERS.items() if words
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col].combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(text), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = _list_offsets(words)
+        flat = words.flatten()
+        scores = np.zeros((len(batch), len(self.markers)), dtype=np.int64)
+        langs = list(self.markers)
+        for k, lang in enumerate(langs):
+            hit = pc.is_in(flat, value_set=self.markers[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[:, k] = _per_row_sum(hit.astype(np.int64), offsets)
+        # CJK: any codepoint in the unified ideograph block → zh
+        has_cjk = pc.count_substring_regex(text, r"[\x{4E00}-\x{9FFF}]").to_numpy(
+            zero_copy_only=False
+        )
+        best = np.array(langs, dtype=object)[scores.argmax(axis=1)]
+        best[scores.max(axis=1) == 0] = "und"
+        best[has_cjk > 0] = "zh"
+        return batch.append_column(self.out_col, pa.array(best, pa.string()))

@@ -1,0 +1,84 @@
+"""Windowed aggregation over an event-time table.
+
+The reference has NO event-time processing (SURVEY.md §2.4 — FIFO channels
+only); these operators cover the stream-shaped workloads a telemetry corpus
+needs, on Ray Data's batch model: tumbling windows are a pure column
+computation (floor the timestamp) + partial-agg groupby; session windows
+group by key and window inside the sorted group.
+
+Partitioning assumption (documented per the build contract): session
+windowing shuffles by ``key`` — one group = one user's events, which must
+fit in a worker (true for per-user event streams; salt by time range if a
+single key's history exceeds worker memory).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from log_formatter_ray.stages.aggregate import grouped_count
+
+_UNITS = {"second": "second", "minute": "minute", "hour": "hour", "day": "day"}
+
+
+def add_tumbling_window(
+    batch: pa.Table, ts_col: str = "ts", unit: str = "hour", out_col: str = "window"
+) -> pa.Table:
+    """Tumbling window id = timestamp floored to ``unit`` (DuckDB
+    ``date_trunc`` parity)."""
+    w = pc.floor_temporal(batch[ts_col], unit=_UNITS[unit])
+    return batch.append_column(out_col, w.combine_chunks())
+
+
+def tumbling_window_count(
+    ds,
+    ts_col: str = "ts",
+    unit: str = "hour",
+    keys: list[str] | None = None,
+    count_alias: str = "n",
+    sum_cols: dict[str, str] | None = None,
+):
+    """Per-(window[, keys]) counts/sums with partial pre-aggregation —
+    windows never shuffle raw events, only per-block partials."""
+    keys = keys or []
+    win = ds.map_batches(
+        lambda b: add_tumbling_window(b, ts_col=ts_col, unit=unit),
+        batch_format="pyarrow",
+    )
+    return grouped_count(win, ["window", *keys], count_alias=count_alias, sum_cols=sum_cols)
+
+
+def session_windows(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: float = 1800.0,
+    value_col: str | None = "value",
+):
+    """Per-key session windows (new session when the inter-event gap exceeds
+    ``gap_s``); returns one row per session: key, session_start, session_end,
+    n_events[, sum_<value_col>]."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(float("inf"))
+        session_id = (gaps > gap_s).cumsum()
+        agg = {ts_col: ["min", "max", "count"]}
+        if value_col:
+            agg[value_col] = "sum"
+        out = g.groupby(session_id).agg(agg)
+        res = pd.DataFrame(
+            {
+                key: group[key].iloc[0],
+                "session_start": out[(ts_col, "min")],
+                "session_end": out[(ts_col, "max")],
+                "n_events": out[(ts_col, "count")].astype("int64"),
+            }
+        )
+        if value_col:
+            res[f"sum_{value_col}"] = out[(value_col, "sum")].to_numpy()
+        return res.reset_index(drop=True)
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -1,0 +1,57 @@
+"""ANN: brute-force exact vs numpy oracle; IVF recall vs brute force."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.ops.ann import IVFIndex, brute_force_topk
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def emb_table():
+    return pq.read_table(EMB)
+
+
+def _numpy_oracle_topk(table, q, k, exclude=()):
+    V = np.stack(table["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    cos = V @ qn
+    ids = np.asarray(table["vec_id"])
+    order = sorted(range(len(ids)), key=lambda i: (-cos[i], ids[i]))
+    order = [i for i in order if ids[i] not in exclude]
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_brute_force_matches_numpy_oracle(emb_table):
+    q = np.asarray(emb_table["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.from_arrow(emb_table).repartition(5)
+    got = brute_force_topk(ds, q, k=10, concurrency=2)
+    assert got["vec_id"].tolist() == _numpy_oracle_topk(emb_table, q, 10)
+    assert got["rank"].tolist() == list(range(1, 11))
+    assert got["cos"].iloc[0] == pytest.approx(1.0)  # query is row 0 itself
+
+
+def test_brute_force_exclude_self(emb_table):
+    q = np.asarray(emb_table["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.from_arrow(emb_table)
+    got = brute_force_topk(ds, q, k=5, exclude_ids={0}, concurrency=2)
+    assert 0 not in got["vec_id"].tolist()
+    assert got["vec_id"].tolist() == _numpy_oracle_topk(emb_table, q, 5, exclude={0})
+
+
+def test_ivf_recall(emb_table):
+    ds = rd.from_arrow(emb_table)
+    idx = IVFIndex(n_clusters=8, iters=5).fit(ds)
+    assigned = idx.assign(ds).materialize()
+    q = np.asarray(emb_table["embedding"][3].as_py(), dtype=np.float64)
+    exact = set(_numpy_oracle_topk(emb_table, q, 10))
+    got = idx.search(assigned, q, k=10, nprobe=4)
+    recall = len(exact & set(got["vec_id"].tolist())) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 clusters
+    full = idx.search(assigned, q, k=10, nprobe=8)  # probing all = exact
+    assert set(full["vec_id"].tolist()) == exact

@@ -1,0 +1,111 @@
+"""Dedup operators: exact (pandas oracle), MinHash-LSH, SimHash, Jaccard,
+embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.ops.dedup import (
+    add_simhash,
+    dedup_by_clusters,
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_clusters,
+    ngram_set,
+    simhash_candidates,
+    verify_pairs_jaccard,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill in the afternoon sun and the birds sing in the trees"
+)
+
+
+@pytest.fixture()
+def dup_table():
+    texts, ids = [], []
+    for i in range(40):
+        if i % 10 == 0:
+            texts.append(BASE)  # exact dups: ids 0,10,20,30
+        elif i % 10 == 1:
+            texts.append(BASE + f" extra tail {i}")  # near dups of BASE
+        else:
+            texts.append(f"totally unrelated document number {i} " + "filler words " * i)
+        ids.append(i)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup_matches_pandas_oracle(dup_table):
+    ds = rd.from_arrow(dup_table).repartition(4)
+    got = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = (
+        dup_table.to_pandas()
+        .sort_values("doc_id")
+        .groupby("text", as_index=False)
+        .first()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["doc_id", "text"]], exp[["doc_id", "text"]])
+    # the three duplicate copies of BASE are gone, keeper is min id (0)
+    assert (got["text"] == BASE).sum() == 1
+    assert 0 in got["doc_id"].tolist()
+
+
+def test_minhash_lsh_finds_near_dups(dup_table):
+    ds = rd.from_arrow(dup_table).repartition(3)
+    clusters = minhash_lsh_clusters(ds, threshold=0.5, concurrency=2)
+    # exact copies of BASE + near-dups must share a cluster with rep 0
+    members = set(clusters.loc[clusters["rep"] == 0, "id"])
+    assert {0, 10, 20, 30}.issubset(members | {0})
+    assert {1, 11, 21, 31} & members  # at least some near-dups joined
+    # unrelated docs never clustered with BASE
+    assert not ({5, 17, 29} & members)
+    deduped = dedup_by_clusters(ds, clusters).to_pandas()
+    assert len(deduped) == len(dup_table) - (len(clusters) - clusters["rep"].nunique())
+
+
+def test_simhash_and_jaccard_pipeline(dup_table):
+    ds = rd.from_arrow(dup_table).map_batches(add_simhash, batch_format="pyarrow")
+    cands = simhash_candidates(ds)
+    pairs = set(map(tuple, cands[["a", "b"]].to_numpy()))
+    assert (0, 10) in pairs  # identical docs always candidates
+    verified = verify_pairs_jaccard(ds, cands, threshold=0.9)
+    vpairs = set(map(tuple, verified[["a", "b"]].to_numpy()))
+    assert (0, 10) in vpairs and (10, 20) in vpairs
+
+
+def test_ngram_jaccard_helpers():
+    a = ngram_set("a b c d", 2)
+    assert a == {"a b", "b c", "c d"}
+    assert jaccard(a, a) == 1.0
+    assert jaccard(a, set()) == 0.0
+    assert jaccard(set(), set()) == 1.0
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((60, 16)).astype(np.float32)
+    V[7] = V[3] * 2.0  # same direction → cosine 1.0
+    V[25] = V[11] + rng.standard_normal(16).astype(np.float32) * 1e-3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(60), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float32()), 16
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    pairs = embedding_dup_pairs(ds, threshold=0.99, nbits=4)
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    # identical-direction vectors always land in the same hyperplane bucket
+    assert (3, 7) in got
+    assert (11, 25) in got
+    for a, b, c in pairs.itertuples(index=False):
+        assert c >= 0.99

