@@ -121,6 +121,11 @@ def generate_sequences(
     if os.path.exists(marker):
         return files
     os.makedirs(out_dir, exist_ok=True)
+    # A different spec previously wrote here: wipe stale shards/markers so a
+    # glob of the directory never mixes two corpora.
+    for name in os.listdir(out_dir):
+        if name.startswith(("part-", "_COMPLETE_")):
+            os.remove(os.path.join(out_dir, name))
     per_file = num_rows // num_files
     start = 0
     for i, path in enumerate(files):

@@ -432,4 +432,8 @@ def embedding_dup_pairs(
         return pd.DataFrame({"a": a, "b": b, "cos": c})
 
     out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty or "a" not in out.columns:  # no near-dups anywhere
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cos": pd.Series(dtype="float64")})
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -47,7 +47,15 @@ def tumbling_window_count(
         lambda b: add_tumbling_window(b, ts_col=ts_col, unit=unit),
         batch_format="pyarrow",
     )
-    return grouped_count(win, ["window", *keys], count_alias=count_alias, sum_cols=sum_cols)
+    agg = grouped_count(win, ["window", *keys], count_alias=count_alias, sum_cols=sum_cols)
+
+    # Ray's groupby sort path degrades timestamps to second precision;
+    # restore microseconds so the schema matches the input (and DuckDB).
+    def recast(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("window")
+        return t.set_column(i, "window", pc.cast(t["window"], pa.timestamp("us")))
+
+    return agg.map_batches(recast, batch_format="pyarrow")
 
 
 def session_windows(

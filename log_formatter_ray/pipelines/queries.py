@@ -1,0 +1,483 @@
+"""Driver-contract queries: one entry per operator/pipeline (SURVEY.md §2),
+each runnable over a testdata ``sf_dir`` and mirrored by ANSI SQL in
+``ORACLE_SQL`` for the DuckDB side-by-side check.
+
+Column names/types are deliberately matched between the Ray result and the
+SQL (the driver hash-compares values under sorted column names); SUMs are
+cast to BIGINT in SQL because DuckDB widens integer SUM to HUGEINT.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from log_formatter_ray.ops.ann import IVFIndex, brute_force_topk
+from log_formatter_ray.ops.dedup import (
+    add_simhash,
+    exact_dedup,
+    embedding_dup_pairs,
+    minhash_lsh_clusters,
+)
+from log_formatter_ray.ops.multimodal import ImageDecoder, make_fake_media
+from log_formatter_ray.ops.textstats import (
+    LangIdScorer,
+    add_bpe_ish_count,
+    add_fingerprint_md5,
+    add_quality_stats,
+    add_rolling_fingerprint,
+    add_token_count,
+    BPE_ISH_PATTERN,
+)
+from log_formatter_ray.ops.window import session_windows, tumbling_window_count
+from log_formatter_ray.stages.aggregate import grouped_count
+from log_formatter_ray.stages.enrich import LookupEnricher
+from log_formatter_ray.stages.filter import FieldFilter
+from log_formatter_ray.stages.parse import GrokParser
+from log_formatter_ray.stages.route import Condition, Router, RouteRule
+
+_TIERS = ["premium", "standard", "raw"]
+
+
+def _tbl(sf_dir: str, name: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Flagship over documents: parse → enrich → route → aggregate (oracle-checked)
+# ---------------------------------------------------------------------------
+
+def q_flagship_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    parser = GrokParser(
+        components_regex=r"^src(?P<src_num>\d+)$",
+        target_field="source",
+        casts={"src_num": pa.int64()},
+    )
+    ds = ds.map_batches(parser, batch_format="pyarrow", zero_copy_batch=True)
+    lookup = pa.table(
+        {
+            "source": pa.array([f"src{i}" for i in range(1000)]),
+            "tier": pa.array([_TIERS[i % 3] for i in range(1000)]),
+        }
+    )
+    ds = ds.map_batches(
+        LookupEnricher(ray.put(lookup), key="source"), batch_format="pyarrow"
+    )
+    router = Router(
+        rules=(
+            RouteRule(sink="sink_premium", when=(Condition("tier", "==", "premium"),)),
+            RouteRule(sink="sink_long", when=(Condition("n_chars", ">=", 400),)),
+        ),
+        default_sink="sink_standard",
+    )
+    ds = ds.map_batches(router, batch_format="pyarrow")
+    return grouped_count(ds, ["sink", "source"], count_alias="n")
+
+
+_SQL_FLAGSHIP_DOCUMENTS = """
+SELECT sink, source, COUNT(*) AS n FROM (
+  SELECT source,
+         CASE WHEN CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 3 = 0
+                THEN 'sink_premium'
+              WHEN n_chars >= 400 THEN 'sink_long'
+              ELSE 'sink_standard' END AS sink
+  FROM documents)
+GROUP BY sink, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parse (grok/regex) operators
+# ---------------------------------------------------------------------------
+
+def q_parse_events_props(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+    parser = GrokParser(
+        components_regex=r'"k": (?P<k>\d+)',
+        target_field="props",
+        casts={"k": pa.int64()},
+    )
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    return grouped_count(ds, ["event_type"], count_alias="n", sum_cols={"k": "sum_k"})
+
+
+_SQL_PARSE_EVENTS_PROPS = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_parse_documents_source(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["lang", "source"])
+    parser = GrokParser(
+        components_regex=r"^src(?P<src_num>\d+)$",
+        target_field="source",
+        casts={"src_num": pa.int64()},
+    )
+    ds = ds.map_batches(parser, batch_format="pyarrow")
+    return grouped_count(ds, ["lang"], count_alias="n", sum_cols={"src_num": "sum_src"})
+
+
+_SQL_PARSE_DOCUMENTS_SOURCE = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)) AS BIGINT) AS sum_src
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter / projection
+# ---------------------------------------------------------------------------
+
+def q_filter_project_lineitem(sf_dir: str):
+    ds = _tbl(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["l_quantity"], 25.0)), batch_format="pyarrow"
+    )
+    f = FieldFilter(include_fields=(r"^l_(orderkey|partkey|quantity)$",))
+    return f.apply(ds)
+
+
+_SQL_FILTER_PROJECT_LINEITEM = """
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity < 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Enrich (broadcast lookup join)
+# ---------------------------------------------------------------------------
+
+def q_enrich_customer_nation(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_of = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    lookup = pa.table(
+        {
+            "c_nationkey": nation["n_nationkey"],
+            "n_name": nation["n_name"],
+            "r_name": pa.array([r_of[k] for k in nation["n_regionkey"].to_pylist()]),
+        }
+    )
+    ds = _tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ds = ds.map_batches(
+        LookupEnricher(ray.put(lookup), key="c_nationkey"), batch_format="pyarrow"
+    )
+    return grouped_count(ds, ["r_name", "n_name"], count_alias="n_customers")
+
+
+_SQL_ENRICH_CUSTOMER_NATION = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Route (fan-out rule cascade)
+# ---------------------------------------------------------------------------
+
+def q_route_events(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    router = Router(
+        rules=(
+            RouteRule(sink="sink_error", when=(Condition("event_type", "==", "error"),)),
+            RouteRule(sink="sink_high", when=(Condition("value", ">=", 100.0),)),
+        ),
+        default_sink="sink_standard",
+    )
+    ds = ds.map_batches(router, batch_format="pyarrow")
+    return grouped_count(ds, ["sink", "event_type"], count_alias="n")
+
+
+_SQL_ROUTE_EVENTS = """
+SELECT CASE WHEN event_type = 'error' THEN 'sink_error'
+            WHEN value >= 100 THEN 'sink_high'
+            ELSE 'sink_standard' END AS sink,
+       event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Aggregate
+# ---------------------------------------------------------------------------
+
+def q_aggregate_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+    return grouped_count(
+        ds, ["source", "lang"], count_alias="n_docs", sum_cols={"n_chars": "sum_chars"}
+    )
+
+
+_SQL_AGGREGATE_DOCUMENTS = """
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_topk_users(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    agg = grouped_count(ds, ["user_id"], count_alias="n")
+    return agg.sort(["n", "user_id"], descending=[True, False]).limit(10)
+
+
+_SQL_TOPK_USERS = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+_SQL_DEDUP_EXACT_DOCUMENTS = """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+def q_minhash_clusters_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_clusters(ds, threshold=0.5, concurrency=2)
+
+
+def q_simhash_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_simhash, batch_format="pyarrow").select_columns(
+        ["doc_id", "simhash"]
+    )
+
+
+def q_embedding_dups(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings")
+    return embedding_dup_pairs(ds, threshold=0.9, nbits=6)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    ds = ds.map_batches(add_bpe_ish_count, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_words", "n_bpe"])
+
+
+_SQL_TOKEN_COUNT_DOCUMENTS = f"""
+SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe
+FROM documents
+"""
+
+
+def q_quality_stopwords(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_words", "n_stop"])
+
+
+_SQL_QUALITY_STOPWORDS = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','and','of','to','in','is','it'))) AS BIGINT) AS n_stop
+FROM documents
+"""
+
+
+def q_fingerprint_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_fingerprint_md5, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+_SQL_FINGERPRINT_DOCUMENTS = """
+SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+
+def q_langid_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangIdScorer, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+def q_rolling_fingerprint_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp_roll"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+def q_window_events_hourly(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type"])
+    return tumbling_window_count(ds, unit="hour", keys=["event_type"], count_alias="n")
+
+
+_SQL_WINDOW_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS window, event_type, COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize_events(sf_dir: str):
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = session_windows(ds, gap_s=1800.0, value_col=None)
+    return out.select_columns(["user_id", "session_start", "session_end", "n_events"])
+
+
+_SQL_SESSIONIZE_EVENTS = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM d)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_top10(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings")
+    q0 = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    out = brute_force_topk(ds, q0, k=10, exclude_ids={0}, concurrency=2)
+    return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
+
+
+_SQL_ANN_TOP10 = """
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY cos DESC, vec_id LIMIT 10)
+"""
+
+
+def q_ivf_ann_top10(sf_dir: str):
+    ds = _tbl(sf_dir, "embeddings")
+    q0 = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    idx = IVFIndex(n_clusters=16, iters=5).fit(ds)
+    assigned = idx.assign(ds)
+    out = idx.search(assigned, q0, k=10, nprobe=8)
+    return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Flagship over the canonical sequences corpus + multimodal plumbing
+# (not SQL-expressible: synthetic corpus / binary payloads → rows-only checks)
+# ---------------------------------------------------------------------------
+
+_SF_ROWS = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}
+
+
+def sequences_dir_for(sf_dir: str) -> tuple[str, int]:
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    rows = _SF_ROWS.get(name, 50_000)
+    # tmpfs when available: bench variance on this box is dominated by disk
+    # writeback, which a real cluster's per-node disks don't share
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "lfr_sequences", name), rows
+
+
+def q_flagship_sequences(sf_dir: str):
+    from log_formatter_ray.fixtures import generate_sequences
+    from log_formatter_ray.pipelines.flagship import run_flagship
+
+    corpus, rows = sequences_dir_for(sf_dir)
+    generate_sequences(corpus, rows, num_files=16)
+    out = tempfile.mkdtemp(prefix="lfr_flagship_")
+    res = run_flagship(corpus, out)
+    return res.counts
+
+
+def q_media_decode(sf_dir: str):
+    media = make_fake_media(300)
+    ds = rd.from_arrow(media).map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2
+    )
+    return ds.select_columns(["media_id", "width", "height", "n_pixels"])
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "flagship_documents": q_flagship_documents,
+    "flagship_sequences": q_flagship_sequences,
+    "parse_events_props": q_parse_events_props,
+    "parse_documents_source": q_parse_documents_source,
+    "filter_project_lineitem": q_filter_project_lineitem,
+    "enrich_customer_nation": q_enrich_customer_nation,
+    "route_events": q_route_events,
+    "aggregate_documents": q_aggregate_documents,
+    "topk_users": q_topk_users,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "minhash_clusters_documents": q_minhash_clusters_documents,
+    "simhash_documents": q_simhash_documents,
+    "embedding_dups": q_embedding_dups,
+    "token_count_documents": q_token_count_documents,
+    "quality_stopwords": q_quality_stopwords,
+    "fingerprint_documents": q_fingerprint_documents,
+    "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
+    "langid_documents": q_langid_documents,
+    "window_events_hourly": q_window_events_hourly,
+    "sessionize_events": q_sessionize_events,
+    "ann_top10": q_ann_top10,
+    "ivf_ann_top10": q_ivf_ann_top10,
+    "media_decode": q_media_decode,
+}
+
+ORACLE_SQL = {
+    "flagship_documents": _SQL_FLAGSHIP_DOCUMENTS,
+    "parse_events_props": _SQL_PARSE_EVENTS_PROPS,
+    "parse_documents_source": _SQL_PARSE_DOCUMENTS_SOURCE,
+    "filter_project_lineitem": _SQL_FILTER_PROJECT_LINEITEM,
+    "enrich_customer_nation": _SQL_ENRICH_CUSTOMER_NATION,
+    "route_events": _SQL_ROUTE_EVENTS,
+    "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
+    "topk_users": _SQL_TOPK_USERS,
+    "dedup_exact_documents": _SQL_DEDUP_EXACT_DOCUMENTS,
+    "token_count_documents": _SQL_TOKEN_COUNT_DOCUMENTS,
+    "quality_stopwords": _SQL_QUALITY_STOPWORDS,
+    "fingerprint_documents": _SQL_FINGERPRINT_DOCUMENTS,
+    "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
+    "sessionize_events": _SQL_SESSIONIZE_EVENTS,
+    "ann_top10": _SQL_ANN_TOP10,
+}
