@@ -1,0 +1,75 @@
+"""YAML pipeline config — the reference's config surface, same shape.
+
+The reference loads a YAML with mandatory top-level ``input`` /
+``pipeline`` / ``output`` sections (/root/reference/agent/manager.go:90-120),
+supports ``!include`` fragment files (/root/reference/util/config.go:57-80),
+and validates mandatory fields per plugin (util/config.go:38-55).  This
+module reproduces that surface:
+
+    input:
+      parquet: {path: /data/in}
+    pipeline:
+      worker: 8                 # parallelism hint (≈ pipeline.worker)
+      formatters:
+        - parser: {components_regex: ..., target_field: doc_id}
+        - filter: {include_fields: ["^doc_", "^tokens$"]}
+        - enrich: {lookup_path: dim.parquet, key: source}
+        - forwarder: {}
+      labels: {env: prod}       # static label merge (pipeline.go:169-171)
+    route:                      # extension: the ES dynamic-index fan-out
+      rules: [{sink: "sink_{{tier}}", when: [...]}]
+      default: sink_standard
+    output:
+      parquet: {path: /data/out, partition_cols: [sink]}
+
+HTTP config fetch (util/config.go:42-54) is intentionally NOT reproduced
+(no network in scope); loading is file-only.
+"""
+
+from __future__ import annotations
+
+import os
+
+import yaml
+
+
+class _IncludeLoader(yaml.SafeLoader):
+    """SafeLoader + ``!include other.yml`` resolved relative to the file."""
+
+    def __init__(self, stream):
+        self._root = os.path.dirname(getattr(stream, "name", "") or ".")
+        super().__init__(stream)
+
+
+def _include(loader: _IncludeLoader, node: yaml.Node):
+    rel = loader.construct_scalar(node)
+    path = os.path.join(loader._root, rel)
+    with open(path) as f:
+        return yaml.load(f, _IncludeLoader)
+
+
+_IncludeLoader.add_constructor("!include", _include)
+
+MANDATORY_SECTIONS = ("input", "pipeline", "output")  # manager.go:90-120
+
+
+def load_config_file(path: str) -> dict:
+    with open(path) as f:
+        cfg = yaml.load(f, _IncludeLoader)
+    validate_config(cfg)
+    return cfg
+
+
+def load_config_str(text: str) -> dict:
+    cfg = yaml.load(text, yaml.SafeLoader)
+    validate_config(cfg)
+    return cfg
+
+
+def validate_config(cfg: dict) -> None:
+    if not isinstance(cfg, dict):
+        raise ValueError("config must be a mapping")
+    missing = [s for s in MANDATORY_SECTIONS if s not in cfg]
+    if missing:
+        # same failure mode as the reference's mandatory-key check
+        raise ValueError(f"config missing mandatory sections: {missing}")

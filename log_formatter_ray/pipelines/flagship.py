@@ -284,6 +284,78 @@ def _read_and_parse(
     return ds
 
 
+def _process_wave(
+    wave: dict[str, list[str]],
+    out_dir: str,
+    data_dir: str,
+    lookup_ref,
+    *,
+    error_tolerant: bool,
+    enrich_mode: str,
+    enrich_concurrency,
+    override_num_blocks,
+    write_outputs: bool,
+) -> tuple[dict[str, PartitionManifest], str]:
+    """Run one wave of pending partitions end-to-end and manifest them."""
+    wave_files = sorted(f for fs in wave.values() for f in fs)
+    ds = _read_and_parse(
+        wave_files,
+        lookup_ref,
+        error_tolerant=error_tolerant,
+        enrich_mode=enrich_mode,
+        enrich_concurrency=enrich_concurrency,
+        override_num_blocks=override_num_blocks,
+    )
+    rules = FLAGSHIP_RULES if error_tolerant else FLAGSHIP_RULES[1:]
+    router = Router(rules=rules, default_sink="sink_standard", sink_field="sink")
+    writer = RouteAndWrite(
+        router, data_dir, drop_cols=("_ok",) if error_tolerant else (),
+        write_outputs=write_outputs,
+    )
+    partials = ds.map_batches(
+        writer, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+    # Partials are ≤ |sinks×sources| rows per block — gather and reduce
+    # them on the driver.  (Ray's sort-based groupby costs ~50ms/block of
+    # fixed overhead, which dwarfs the work for kilobyte partials; at
+    # 10^12 scale with ~10^6 blocks the partial set is ~10^7 rows, still
+    # a driver-side pandas reduce per wave.  Shuffle nothing that fits
+    # in RAM.)
+    agg = (
+        partials.to_pandas()
+        .groupby(["part_id", "sink", "source"], as_index=False)[["n", "sum_n_tok"]]
+        .sum()
+    )
+    stats = partials.stats()
+
+    rows_in_per_file = {f: pq.read_metadata(f).num_rows for f in wave_files}
+    by_pid = dict(tuple(agg.groupby("part_id")))
+    done: dict[str, PartitionManifest] = {}
+    for pid, fs in wave.items():
+        sub = by_pid.get(pid, agg.iloc[0:0])
+        sink_counts = sub.groupby("sink")["n"].sum().to_dict()
+        ss_counts = {f"{r.sink}|{r.source}": int(r.n) for r in sub.itertuples()}
+        rows_in = sum(rows_in_per_file[f] for f in fs)
+        routed = int(sub["n"].sum())
+        token_sum = int(sub["sum_n_tok"].sum())
+        m = PartitionManifest(
+            part_id=pid,
+            input_files=[os.path.basename(f) for f in fs],
+            rows_in=rows_in,
+            rows_routed=routed,
+            rows_dropped=rows_in - routed,
+            sink_counts={k: int(v) for k, v in sink_counts.items()},
+            sink_source_counts=ss_counts,
+            token_sum=token_sum,
+            token_bytes=4 * token_sum,
+        )
+        if write_outputs:
+            write_manifest(out_dir, m)
+        done[pid] = m
+    return done, stats
+
+
 def run_flagship(
     input_path: str | list[str],
     out_dir: str,
@@ -295,8 +367,17 @@ def run_flagship(
     enrich_concurrency=None,
     override_num_blocks: int | None = None,
     write_outputs: bool = True,
+    wave_size: int | None = None,
 ) -> FlagshipResult:
-    """Run (or resume) the flagship job.  Ray must already be initialised."""
+    """Run (or resume) the flagship job.  Ray must already be initialised.
+
+    ``wave_size``: process pending partitions in waves of this many,
+    writing each wave's lineage manifests as soon as it completes — so a
+    kill mid-job loses at most one wave of work instead of the whole run.
+    Default (None) = one wave.  Each wave is a full streaming Ray Data job,
+    so size waves in the hundreds-of-partitions range to amortize the ~1 s
+    job startup (e.g. 256 partitions/wave at 10^6 partitions total).
+    """
     if isinstance(input_path, str):
         files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
     else:
@@ -316,58 +397,20 @@ def run_flagship(
 
     stats = ""
     if pending:
-        pending_files = sorted(f for fs in pending.values() for f in fs)
         lookup_ref = ray.put(lookup if lookup is not None else make_source_lookup())
-        ds = _read_and_parse(
-            pending_files,
-            lookup_ref,
-            error_tolerant=error_tolerant,
-            enrich_mode=enrich_mode,
-            enrich_concurrency=enrich_concurrency,
-            override_num_blocks=override_num_blocks,
-        )
-        rules = FLAGSHIP_RULES if error_tolerant else FLAGSHIP_RULES[1:]
-        router = Router(rules=rules, default_sink="sink_standard", sink_field="sink")
-        writer = RouteAndWrite(
-            router, data_dir, drop_cols=("_ok",) if error_tolerant else (),
-            write_outputs=write_outputs,
-        )
-        partials = ds.map_batches(writer, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-
-        # Partials are ≤ |sinks×sources| rows per block — gather and reduce
-        # them on the driver.  (Ray's sort-based groupby costs ~50ms/block of
-        # fixed overhead, which dwarfs the work for kilobyte partials; at
-        # 10^12 scale with ~10^6 blocks the partial set is ~10^7 rows, still
-        # a driver-side pandas reduce.  Shuffle nothing that fits in RAM.)
-        agg = (
-            partials.to_pandas()
-            .groupby(["part_id", "sink", "source"], as_index=False)[["n", "sum_n_tok"]]
-            .sum()
-        )
-        stats = partials.stats()
-
-        rows_in_per_file = {f: pq.read_metadata(f).num_rows for f in pending_files}
-        for pid, fs in pending.items():
-            sub = agg[agg["part_id"] == pid]
-            sink_counts = sub.groupby("sink")["n"].sum().to_dict()
-            ss_counts = {f"{r.sink}|{r.source}": int(r.n) for r in sub.itertuples()}
-            rows_in = sum(rows_in_per_file[f] for f in fs)
-            routed = int(sub["n"].sum())
-            token_sum = int(sub["sum_n_tok"].sum())
-            m = PartitionManifest(
-                part_id=pid,
-                input_files=[os.path.basename(f) for f in fs],
-                rows_in=rows_in,
-                rows_routed=routed,
-                rows_dropped=rows_in - routed,
-                sink_counts={k: int(v) for k, v in sink_counts.items()},
-                sink_source_counts=ss_counts,
-                token_sum=token_sum,
-                token_bytes=4 * token_sum,
+        pids = sorted(pending)
+        step = wave_size or len(pids)
+        for i in range(0, len(pids), step):
+            wave = {pid: pending[pid] for pid in pids[i : i + step]}
+            wave_done, stats = _process_wave(
+                wave, out_dir, data_dir, lookup_ref,
+                error_tolerant=error_tolerant,
+                enrich_mode=enrich_mode,
+                enrich_concurrency=enrich_concurrency,
+                override_num_blocks=override_num_blocks,
+                write_outputs=write_outputs,
             )
-            if write_outputs:
-                write_manifest(out_dir, m)
-            done[pid] = m
+            done.update(wave_done)
 
     # Corpus-level result assembled from ALL manifests (incl. prior runs).
     agg_counts: dict[tuple[str, str], int] = {}

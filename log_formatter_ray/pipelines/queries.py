@@ -231,6 +231,70 @@ FROM documents GROUP BY source, lang
 """
 
 
+def q_tpch_q1_style(sf_dir: str):
+    """Classic grouped aggregate (TPC-H Q1 shape, integer-safe columns)."""
+    ds = _tbl(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    agg = grouped_count(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        count_alias="n",
+        sum_cols={"l_quantity": "sum_qty_f"},
+    )
+
+    def cast_qty(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["sum_qty_f"]), pa.int64())
+        t = t.append_column("sum_qty", qty)
+        return t.drop_columns(["sum_qty_f"])
+
+    return agg.map_batches(cast_qty, batch_format="pyarrow")
+
+
+_SQL_TPCH_Q1_STYLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_langs(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+_SQL_DISTINCT_LANGS = """
+SELECT DISTINCT lang FROM documents
+"""
+
+
+def q_union_counts(sf_dir: str):
+    """ds.union: id streams from two tables concatenated then counted."""
+    a = _tbl(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        lambda t: pa.table({"id": t["doc_id"].combine_chunks()}), batch_format="pyarrow"
+    )
+    b = _tbl(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        lambda t: pa.table({"id": t["vec_id"].combine_chunks()}), batch_format="pyarrow"
+    )
+    n = a.union(b).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+_SQL_UNION_COUNTS = """
+SELECT COUNT(*) AS n FROM (
+  SELECT doc_id AS id FROM documents UNION ALL SELECT vec_id AS id FROM embeddings)
+"""
+
+
+def q_sort_limit_documents(sf_dir: str):
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+_SQL_SORT_LIMIT_DOCUMENTS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+"""
+
+
 def q_topk_users(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["user_id"])
     agg = grouped_count(ds, ["user_id"], count_alias="n")
@@ -447,6 +511,10 @@ QUERIES = {
     "enrich_customer_nation": q_enrich_customer_nation,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
+    "tpch_q1_style": q_tpch_q1_style,
+    "distinct_langs": q_distinct_langs,
+    "union_counts": q_union_counts,
+    "sort_limit_documents": q_sort_limit_documents,
     "topk_users": q_topk_users,
     "dedup_exact_documents": q_dedup_exact_documents,
     "minhash_clusters_documents": q_minhash_clusters_documents,
@@ -472,6 +540,10 @@ ORACLE_SQL = {
     "enrich_customer_nation": _SQL_ENRICH_CUSTOMER_NATION,
     "route_events": _SQL_ROUTE_EVENTS,
     "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
+    "tpch_q1_style": _SQL_TPCH_Q1_STYLE,
+    "distinct_langs": _SQL_DISTINCT_LANGS,
+    "union_counts": _SQL_UNION_COUNTS,
+    "sort_limit_documents": _SQL_SORT_LIMIT_DOCUMENTS,
     "topk_users": _SQL_TOPK_USERS,
     "dedup_exact_documents": _SQL_DEDUP_EXACT_DOCUMENTS,
     "token_count_documents": _SQL_TOKEN_COUNT_DOCUMENTS,
