@@ -42,10 +42,35 @@ def _items_source(cfg: dict):
     return rd.from_items(cfg["items"])
 
 
+def _console_source(cfg: dict):
+    """stdin line source — the reference's ``console`` input
+    (/root/reference/agent/input/console/console.go:21-37) without the
+    1 line/s throttle (a batch engine reads what is there)."""
+    import sys
+
+    stream = cfg.get("stream") or sys.stdin
+    lines = [line.rstrip("\n") for line in stream]
+    return rd.from_items([{"message": line} for line in lines])
+
+
+def _json_source(cfg: dict):
+    """JSON-lines source — the Kafka ``schema: json`` decode analog
+    (/root/reference/agent/input/kafka/kafka.go:159-173): nested values
+    become Arrow struct/list columns."""
+    return rd.read_json(cfg["path"])
+
+
+def _csv_source(cfg: dict):
+    return rd.read_csv(cfg["path"])
+
+
 SOURCES: dict[str, Callable[[dict], "rd.Dataset"]] = {
     "parquet": _parquet_source,
     "text": _text_source,
     "items": _items_source,
+    "console": _console_source,
+    "json": _json_source,
+    "csv": _csv_source,
 }
 
 

@@ -1,0 +1,78 @@
+"""Source/sink registries (the reference's input/output plugin surface)."""
+
+import io
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from log_formatter_ray.sinks import SINKS, register_sink, write_sink
+from log_formatter_ray.sources import SOURCES, build_source, register_source
+
+
+def test_parquet_source_column_pruning(corpus_dir):
+    ds = build_source({"parquet": {"path": corpus_dir, "columns": ["doc_id", "source"]}})
+    assert set(ds.schema().names) == {"doc_id", "source"}
+
+
+def test_text_source(tmp_path):
+    p = tmp_path / "log.txt"
+    p.write_text("line one\nline two\n")
+    ds = build_source({"text": {"path": str(p)}})
+    assert ds.to_pandas()["message"].tolist() == ["line one", "line two"]
+
+
+def test_console_source_stream():
+    # reference console input shape: each line → {"message": line}
+    ds = build_source({"console": {"stream": io.StringIO("a\nb\n")}})
+    assert ds.to_pandas()["message"].tolist() == ["a", "b"]
+
+
+def test_json_source_nested(tmp_path):
+    p = tmp_path / "rows.json"
+    rows = [{"message": "m", "meta": {"k": 1}}, {"message": "n", "meta": {"k": 2}}]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    df = build_source({"json": {"path": str(p)}}).to_pandas()
+    assert df["meta"].iloc[0]["k"] == 1  # nested JSON → struct column
+
+
+def test_csv_source(tmp_path):
+    p = tmp_path / "rows.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    df = build_source({"csv": {"path": str(p)}}).to_pandas()
+    assert df["a"].tolist() == [1, 2]
+
+
+def test_unknown_source_and_sink():
+    with pytest.raises(ValueError, match="unknown source"):
+        build_source({"nope": {}})
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="unknown sink"):
+        write_sink(rd.from_items([{"x": 1}]), {"nope": {}})
+
+
+def test_register_source_plugin():
+    register_source("fake", lambda cfg: __import__("ray").data.range(cfg["n"]))
+    assert build_source({"fake": {"n": 3}}).count() == 3
+    del SOURCES["fake"]
+
+
+def test_parquet_sink_partitioned(tmp_path):
+    import ray.data as rd
+
+    ds = rd.from_items([{"v": 1, "sink": "a"}, {"v": 2, "sink": "b"}])
+    out = str(tmp_path / "out")
+    write_sink(ds, {"parquet": {"path": out, "partition_cols": ["sink"]}})
+    t = pq.read_table(out)
+    assert sorted(t["sink"].to_pylist()) == ["a", "b"]
+
+
+def test_register_sink_plugin():
+    captured = []
+    register_sink("capture", lambda ds, cfg: captured.append(ds.count()))
+    import ray.data as rd
+
+    write_sink(rd.from_items([{"x": 1}]), {"capture": {}})
+    assert captured == [1]
+    del SINKS["capture"]
