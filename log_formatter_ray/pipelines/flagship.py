@@ -411,6 +411,10 @@ def run_flagship(
                 write_outputs=write_outputs,
             )
             done.update(wave_done)
+        if write_outputs:
+            from log_formatter_ray.state.metrics import write_metrics
+
+            write_metrics(out_dir)
 
     # Corpus-level result assembled from ALL manifests (incl. prior runs).
     agg_counts: dict[tuple[str, str], int] = {}

@@ -499,6 +499,94 @@ def q_media_decode(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Token-sequence operators (canonical tokens payload; corpus is synthetic →
+# rows-only checks, invariants tested in tests/test_tokens.py)
+# ---------------------------------------------------------------------------
+
+def _sequences_ds(sf_dir: str):
+    from log_formatter_ray.fixtures import generate_sequences
+
+    corpus, rows = sequences_dir_for(sf_dir)
+    generate_sequences(corpus, rows, num_files=16)
+    return rd.read_parquet_bulk(
+        sorted(os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet"))
+    )
+
+
+def q_chunk_sequences(sf_dir: str):
+    from log_formatter_ray.ops.tokens import chunk_sequences
+
+    ds = _sequences_ds(sf_dir)
+    out = ds.map_batches(
+        lambda b: chunk_sequences(b, max_len=512),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return pa.table(
+        {
+            "n_chunks": pa.array([out.count()], pa.int64()),
+            "total_tokens": pa.array([int(out.sum("n_tok"))], pa.int64()),
+        }
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    from log_formatter_ray.ops.tokens import pack_sequences
+
+    ds = _sequences_ds(sf_dir)
+    out = ds.map_batches(
+        lambda b: pack_sequences(b, context_len=2048),
+        batch_format="pyarrow", batch_size=None,
+    )
+    stats = out.select_columns(["n_tok", "n_seqs"]).to_pandas()
+    return pa.table(
+        {
+            "n_packs": pa.array([len(stats)], pa.int64()),
+            "n_seqs": pa.array([int(stats["n_seqs"].sum())], pa.int64()),
+            "total_tokens": pa.array([int(stats["n_tok"].sum())], pa.int64()),
+        }
+    )
+
+
+def q_token_histogram_top(sf_dir: str):
+    from log_formatter_ray.ops.tokens import token_histogram
+
+    ds = _sequences_ds(sf_dir)
+    hist = token_histogram(ds)
+    top = np.argsort(-hist, kind="stable")[:10]
+    return pa.table(
+        {
+            "token_id": pa.array(top.astype(np.int64)),
+            "freq": pa.array(hist[top].astype(np.int64)),
+        }
+    )
+
+
+def q_distinct_embeddings(sf_dir: str):
+    """Distinct-on-list via content hash (no list shuffle)."""
+    import pandas as pd
+
+    ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"].combine_chunks()
+        flat = np.asarray(emb.flatten(), dtype=np.float32)
+        n = len(batch)
+        dim = flat.size // n if n else 0
+        hashes = [
+            hash(flat[i * dim : (i + 1) * dim].tobytes()) for i in range(n)
+        ]
+        return pa.table({"h": pa.array(np.asarray(hashes, dtype=np.int64))})
+
+    hashes = ds.map_batches(hash_batch, batch_format="pyarrow").to_pandas()
+    return pa.table({"n": pa.array([int(hashes["h"].nunique())], pa.int64())})
+
+
+_SQL_DISTINCT_EMBEDDINGS = """
+SELECT COUNT(DISTINCT embedding) AS n FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -530,6 +618,10 @@ QUERIES = {
     "ann_top10": q_ann_top10,
     "ivf_ann_top10": q_ivf_ann_top10,
     "media_decode": q_media_decode,
+    "chunk_sequences": q_chunk_sequences,
+    "pack_sequences": q_pack_sequences,
+    "token_histogram_top": q_token_histogram_top,
+    "distinct_embeddings": q_distinct_embeddings,
 }
 
 ORACLE_SQL = {
@@ -552,4 +644,5 @@ ORACLE_SQL = {
     "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
+    "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,
 }

@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): vectorized stages ≡ doc-at-a-time
+reference semantics on arbitrary inputs."""
+
+import re
+
+import hypothesis.strategies as st
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+
+from log_formatter_ray.ops.tokens import chunk_sequences
+from log_formatter_ray.stages.parse import GrokParser
+from log_formatter_ray.stages.route import Condition, Router, RouteRule, render_template
+
+LINES = st.lists(
+    st.text(alphabet="abc123-/ ", min_size=0, max_size=30), min_size=1, max_size=50
+)
+
+PATTERN = r"^(?P<head>[a-c]+)-(?P<num>\d+)$"
+_RX = re.compile(PATTERN)
+
+
+@given(LINES)
+@settings(max_examples=40, deadline=None)
+def test_parser_equals_python_re(lines):
+    t = pa.table({"message": pa.array(lines, pa.string())})
+
+    # drop mode ≡ filtering by rx.match
+    p = GrokParser(components_regex=PATTERN, target_field="message")
+    out = p(t)
+    expected = [m for m in map(_RX.match, lines) if m]
+    assert len(out) == len(expected)
+    assert out["head"].to_pylist() == [m.group("head") for m in expected]
+    assert out["num"].to_pylist() == [m.group("num") for m in expected]
+
+    # tolerant mode preserves cardinality and nulls exactly the non-matches
+    pt = GrokParser(
+        components_regex=PATTERN, target_field="message",
+        error_tolerant=True, ok_field="_ok",
+    )
+    out2 = pt(t)
+    assert len(out2) == len(lines)
+    assert out2["_ok"].to_pylist() == [bool(_RX.match(x)) for x in lines]
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_router_first_match_wins_vs_row_oracle(rows):
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows]),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    rules = (
+        RouteRule(sink="s_a", when=(Condition("k", "==", "a"),)),
+        RouteRule(sink="s_big", when=(Condition("v", ">=", 50),)),
+        RouteRule(sink="s_bc", when=(Condition("k", "in", ["b", "c"]), Condition("v", "<", 10))),
+    )
+    got = Router(rules=rules, default_sink="s_def")(t)["sink"].to_pylist()
+
+    def oracle(k, v):  # doc-at-a-time first-match-wins
+        if k == "a":
+            return "s_a"
+        if v >= 50:
+            return "s_big"
+        if k in ("b", "c") and v < 10:
+            return "s_bc"
+        return "s_def"
+
+    assert got == [oracle(k, v) for k, v in rows]
+
+
+@given(st.lists(st.sampled_from(["x", "y", None]), min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_template_render_vs_python(vals):
+    t = pa.table({"f": pa.array(vals, pa.string())})
+    got = render_template(t, "pre-{{f}}-post").to_pylist()
+    assert got == [f"pre-{v if v is not None else 'null'}-post" for v in vals]
+
+
+@given(
+    st.lists(st.integers(0, 2000), min_size=1, max_size=40),
+    st.integers(1, 300),
+)
+@settings(max_examples=40, deadline=None)
+def test_chunk_reassembly_property(lens, max_len):
+    rng = np.random.default_rng(0)
+    toks = [rng.integers(0, 1000, size=n, dtype=np.int32) for n in lens]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(len(lens))]),
+            "tokens": pa.array([x.tolist() for x in toks], pa.list_(pa.int32())),
+        }
+    )
+    out = chunk_sequences(t, max_len=max_len)
+    assert max(out["n_tok"].to_pylist()) <= max_len
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"])
+    for i, orig in enumerate(toks):
+        parts = df[df["doc_id"] == f"d{i:04d}"]["tokens"]
+        rebuilt = np.concatenate([np.asarray(p) for p in parts]) if len(parts) else np.array([])
+        assert np.array_equal(rebuilt, orig)

@@ -1,0 +1,85 @@
+"""Token-sequence ops: chunking (byte-exact reassembly), packing
+(capacity + coverage invariants), histogram (numpy oracle)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.ops.tokens import (
+    chunk_sequences,
+    pack_sequences,
+    token_histogram,
+)
+
+
+def test_chunk_sequences_reassembles_byte_exact(seq_batch):
+    out = chunk_sequences(seq_batch, max_len=100)
+    # every chunk ≤ 100, n_tok invariant holds
+    lens = pa.compute.list_value_length(out["tokens"]).to_pylist()
+    assert max(lens) <= 100
+    assert lens == out["n_tok"].to_pylist()
+    # reassembling chunks in order reproduces the original tokens exactly
+    df = out.to_pandas().sort_values(["doc_id", "chunk_idx"])
+    rebuilt = {
+        d: np.concatenate([np.asarray(t) for t in g["tokens"]])
+        for d, g in df.groupby("doc_id", sort=False)
+    }
+    orig = seq_batch.to_pandas()
+    for d, toks in zip(orig["doc_id"], orig["tokens"]):
+        assert np.array_equal(rebuilt[d], np.asarray(toks))
+    # chunk count = ceil(n_tok / 100)
+    expected_chunks = int(sum((n + 99) // 100 for n in orig["n_tok"]))
+    assert len(out) == expected_chunks
+
+
+def test_chunk_sequences_in_pipeline(seq_batch):
+    ds = rd.from_arrow(seq_batch).repartition(3)
+    out = ds.map_batches(
+        lambda b: chunk_sequences(b, max_len=256), batch_format="pyarrow",
+        batch_size=None,
+    )
+    total = out.to_pandas()
+    assert total["n_tok"].sum() == seq_batch.to_pandas()["n_tok"].sum()
+
+
+def test_pack_sequences_invariants(seq_batch):
+    ctx = 2048
+    out = pack_sequences(seq_batch, context_len=ctx)
+    df = out.to_pandas()
+    # capacity: every pack fits the context
+    assert (df["n_tok"] <= ctx).all()
+    # coverage: every doc appears exactly once
+    all_ids = [d for ids in df["doc_ids"] for d in ids]
+    assert sorted(all_ids) == sorted(seq_batch["doc_id"].to_pylist())
+    # token conservation (no doc exceeds ctx in this fixture: max 2048)
+    assert df["n_tok"].sum() == seq_batch.to_pandas()["n_tok"].sum()
+    # boundaries mark suffix offsets of each member
+    row = df.iloc[0]
+    assert row["boundaries"][-1] == row["n_tok"]
+    assert len(row["boundaries"]) == row["n_seqs"]
+    # packing actually packs (fewer rows than docs)
+    assert len(df) < len(seq_batch)
+    # fill rate sanity: average fill ≥ 70% of context
+    assert df["n_tok"].mean() >= 0.7 * ctx
+
+
+def test_pack_truncates_overlong():
+    t = pa.table(
+        {
+            "doc_id": ["a"],
+            "tokens": [list(range(3000))],
+        }
+    )
+    out = pack_sequences(t, context_len=1000)
+    assert out["n_tok"].to_pylist() == [1000]
+
+
+def test_token_histogram_matches_numpy(seq_batch):
+    ds = rd.from_arrow(seq_batch).repartition(4)
+    hist = token_histogram(ds, vocab_size=50257)
+    flat = np.concatenate([np.asarray(t) for t in seq_batch.to_pandas()["tokens"]])
+    expected = np.bincount(flat, minlength=50257)
+    assert np.array_equal(hist, expected)
+    assert hist.sum() == seq_batch.to_pandas()["n_tok"].sum()
