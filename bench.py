@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "window_events_hourly",
     "ann_top10",
     "minhash_clusters_documents",
+    "tpch_q1_style",
+    "chunk_sequences",
 ]
 
 
@@ -82,8 +84,8 @@ def run_bench() -> dict:
     for f in glob.glob(os.path.join(corpus, "*.parquet")):
         pq.read_table(f)
 
-    # Fixed block count at every CPU level so the scaling comparison runs
-    # the IDENTICAL job; best-of-2 to damp page-cache / writeback variance.
+    # best-of-2 to damp page-cache / writeback variance; 64 blocks ≈ 2 tasks
+    # per CPU at the default 32-CPU level.
     flagship_sec = float("inf")
     for _ in range(2):
         out = tempfile.mkdtemp(prefix="lfr_bench_")
@@ -121,7 +123,7 @@ def run_bench() -> dict:
 # full width (a pure-CPU multiprocessing control measures ≈0.71 at 8→32 and
 # ≈0.88 at 4→16); at 2→8 both levels run far from those ceilings, so the
 # measurement reflects the ENGINE's scaling rather than the box's.  The
-# corpus is 8M rows (~16 GB tokens) so fixed job overhead (~4 s) amortizes,
+# corpus is 6M rows (~11.5 GB tokens) so fixed job overhead (~4 s) amortizes,
 # and it lives on tmpfs because single-disk writeback is a one-box artifact
 # a multi-node cluster's per-node disks don't share.  BASELINE.md records
 # the numbers at every pair.
