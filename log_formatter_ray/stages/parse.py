@@ -9,11 +9,19 @@ Reference semantics (/root/reference/agent/pipeline/parser/parser.go:62-107):
 * Per-component label extraction: for each ``labels[i] = {component,
   regexprs[]}``, every regex runs over that component's value and merges its
   named groups into the doc, with the same ``_``-discard rule
-  (parser.go:79-97).
-* ``error_tolerant=False`` (default): a missing target field or any regex
-  mismatch is an error ⇒ the doc is dropped by the pipeline worker
-  (parser.go:63-77; pipeline.go:158-167).
-  ``error_tolerant=True``: the doc passes through unenriched.
+  (parser.go:79-97).  A label regex that fails to match is SOFT — the
+  reference logs a warning and ``continue``s (parser.go:86-89); the doc is
+  never dropped for a label miss, and groups from the regexes that did
+  match are kept.  Within one name, the LAST matching regex wins (each
+  labelMap is merged into the doc in order).
+* Merge precedence: label maps are merged DURING the labels loop, the
+  component map is merged AFTER it (parser.go:92-104) — so on a name
+  collision the component group overwrites the label group.
+* ``error_tolerant=False`` (default): a missing target field or a
+  ``components_regex`` mismatch is an error ⇒ the doc is dropped by the
+  pipeline worker (parser.go:63-77; pipeline.go:158-167).
+  ``error_tolerant=True``: the doc passes through unenriched (fixed-schema
+  mapping: the extracted columns exist but are null for failed rows).
 
 Ray-Data-native form: one vectorized ``pc.extract_regex`` per pattern per
 batch (RE2, same engine as Go ``regexp``), a boolean ok-mask instead of
@@ -84,21 +92,39 @@ class GrokParser:
             return batch.slice(0, 0)
 
         target = batch[self.target_field]
-        fields, ok = extract_named(target, self.components_regex)
+        comp_fields, ok = extract_named(target, self.components_regex)
 
         # Label extraction runs over component *values* (incl. `_`-suffixed
-        # components), merging named groups with overwrite semantics.
+        # components).  Soft semantics (parser.go:86-89): a label regex that
+        # does not match a row leaves that row's label fields untouched
+        # (null if nothing else set them) and never affects ``ok``; within a
+        # name, the last matching regex wins.
+        label_fields: dict = {}
         for lab in self.labels:
-            comp_values = fields[lab.component]
+            comp_values = comp_fields[lab.component]
             for pattern in lab.regexprs:
                 sub_fields, sub_ok = extract_named(comp_values, pattern)
-                ok = pc.and_(ok, sub_ok)
-                fields.update(sub_fields)
+                valid = pc.and_(sub_ok, ok)
+                for name, vals in sub_fields.items():
+                    if is_discard_group(name):
+                        continue  # `_` keys skipped at label merge (parser.go:90-92)
+                    prev = label_fields.get(name)
+                    fallback = (
+                        prev if prev is not None else pa.scalar(None, vals.type)
+                    )
+                    label_fields[name] = pc.if_else(valid, vals, fallback)
+
+        # Merge order (parser.go:92-104): labels first, components after —
+        # component groups overwrite label groups on collision.
+        fields = dict(label_fields)
+        for name, vals in comp_fields.items():
+            if not is_discard_group(name):
+                fields[name] = vals
 
         return self._finalize(batch, fields, ok)
 
     def _finalize(self, batch: pa.Table, fields: dict, ok: pa.Array) -> pa.Table:
-        out_fields = {n: v for n, v in fields.items() if not is_discard_group(n)}
+        out_fields = dict(fields)
 
         if self.error_tolerant:
             # pass-through-unenriched: failed rows keep original columns,

@@ -43,8 +43,9 @@ def test_labels_run_on_discarded_components():
     assert "word_" not in out.column_names
 
 
-def test_label_merge_overwrites():
-    # later label groups overwrite earlier fields (doc[k] = v map semantics)
+def test_component_overwrites_label_on_collision():
+    # parser.go:92-104: labelMaps merge during the loop, componentMap merges
+    # AFTER — the component group wins a name collision.
     t = pa.table({"message": ["x-y"]})
     p = GrokParser(
         components_regex=r"^(?P<a>\w)-(?P<b>\w)$",
@@ -52,7 +53,34 @@ def test_label_merge_overwrites():
         labels=(LabelSpec(component="b", regexprs=(r"^(?P<a>\w)$",)),),
     )
     out = p(t)
-    assert out["a"].to_pylist() == ["y"]
+    assert out["a"].to_pylist() == ["x"]  # component value, not label "y"
+
+
+def test_label_last_matching_regex_wins():
+    # each labelMap is merged in order → last MATCHING regex's value sticks
+    t = pa.table({"message": ["ab-1", "zz-2"]})
+    p = GrokParser(
+        components_regex=r"^(?P<w>\w+)-(?P<n>\d)$",
+        target_field="message",
+        labels=(
+            LabelSpec(
+                component="w",
+                regexprs=(r"^(?P<pick>..)", r"^(?P<pick>a)"),  # 2nd only matches "ab"
+            ),
+        ),
+    )
+    out = p(t)
+    assert out["pick"].to_pylist() == ["a", "zz"]  # row2 keeps the 1st regex's value
+
+
+def test_optional_group_empty_string_parity():
+    # Go FindStringSubmatch gives "" for a non-participating optional group
+    # and the reference merges that "" into the doc; Arrow extract_regex
+    # does the same.
+    t = pa.table({"message": ["x", "xy"]})
+    p = GrokParser(components_regex=r"^(?P<a>x)(?P<b>y)?$", target_field="message")
+    out = p(t)
+    assert out["b"].to_pylist() == ["", "y"]
 
 
 def test_drop_mode_drops_nonmatching():
@@ -77,8 +105,10 @@ def test_tolerant_mode_passes_through_unenriched():
     assert out["_ok"].to_pylist() == [True, False]
 
 
-def test_label_failure_drops_or_nulls():
-    t = pa.table({"message": ["ab-1", "zz-2"]})
+def test_label_failure_is_soft():
+    # parser.go:86-89: a label-regex miss is logged and skipped — the doc is
+    # NOT dropped (even with error_tolerant=false) and component fields stay.
+    t = pa.table({"message": ["ab-1", "zz-2", "NOPE"]})
     spec = dict(
         components_regex=r"^(?P<w>\w+)-(?P<n>\d)$",
         target_field="message",
@@ -86,13 +116,13 @@ def test_label_failure_drops_or_nulls():
     )
     strict = GrokParser(**spec)
     out = strict(t)
-    assert out["n"].to_pylist() == ["1"]  # zz fails the label regex → dropped
+    # only the COMPONENTS mismatch ("NOPE") drops; the label miss ("zz") stays
+    assert out["n"].to_pylist() == ["1", "2"]
+    assert out["first"].to_pylist() == ["a", None]
     tolerant = GrokParser(**spec, error_tolerant=True)
     out2 = tolerant(t)
-    # failed row passes through fully unenriched (reference returns the
-    # original doc on error)
-    assert out2["n"].to_pylist() == ["1", None]
-    assert out2["first"].to_pylist() == ["a", None]
+    assert out2["n"].to_pylist() == ["1", "2", None]
+    assert out2["first"].to_pylist() == ["a", None, None]
 
 
 def test_missing_target_field():
