@@ -23,19 +23,31 @@ import pyarrow.compute as pc
 _TEMPLATE_FIELD = re.compile(r"\{\{(\w+)\}\}")
 
 
-def render_template(batch: pa.Table, template: str) -> pa.Array:
+def render_template(
+    batch: pa.Table, template: str, first_field_all: bool = False
+) -> pa.Array:
     """Vectorized ``{{field}}`` rendering (util/config.go:16-32): every
-    ``{{name}}`` occurrence is replaced by that row's ``name`` value."""
+    ``{{name}}`` occurrence is replaced by that row's ``name`` value.
+
+    Reference quirk (documented divergence): ``DynamicFromField`` extracts
+    only the FIRST ``{{field}}`` and then ``ReplaceAllString``s every
+    ``{{...}}`` slot with that first field's value (util/config.go:20-27) —
+    multi-field templates silently reuse field one.  We render each slot
+    from its own field by default; ``first_field_all=True`` replicates the
+    reference behavior bit-for-bit for parity testing.
+    """
     parts = _TEMPLATE_FIELD.split(template)  # [lit, fld, lit, fld, ..., lit]
     n = len(batch)
     if len(parts) == 1:  # constant sink (no template)
         return pa.array([template] * n, pa.string())
+    first_field = parts[1]
     pieces = []
     for i, part in enumerate(parts):
         if i % 2 == 0:
             pieces.append(pa.array([part] * n, pa.string()))
         else:
-            col = pc.cast(batch[part], pa.string())
+            name = first_field if first_field_all else part
+            col = pc.cast(batch[name], pa.string())
             pieces.append(pc.fill_null(col, "null").combine_chunks())
     return pc.binary_join_element_wise(*pieces, "")
 

@@ -37,6 +37,13 @@ def test_template_constant():
     assert render_template(_batch(), "fixed").to_pylist() == ["fixed"] * 4
 
 
+def test_template_reference_first_field_quirk():
+    # util/config.go:20-27: the reference replaces EVERY {{...}} slot with
+    # the FIRST field's value; first_field_all=True replicates that.
+    out = render_template(_batch(), "{{source}}/{{tier}}", first_field_all=True)
+    assert out.to_pylist() == ["web/web", "books/books", "misc/misc", "web/web"]
+
+
 def test_first_match_wins():
     r = Router(
         rules=(
