@@ -44,6 +44,16 @@ SEQUENCES_SCHEMA = pa.schema(
 )
 
 
+def _zfill_widen(ints: np.ndarray, width: int) -> np.ndarray:
+    """Zero-pad to ``width`` but WIDEN for longer numbers — ``np.char.zfill``
+    silently truncates strings longer than ``width`` (shard ≥ 10^4 /
+    seq ≥ 10^8 would corrupt doc_ids at design scale)."""
+    s = ints.astype(str).astype(object)
+    lens = np.char.str_len(s.astype(str))
+    zeros = np.array(["0" * i for i in range(width + 1)], dtype=object)
+    return zeros[np.clip(width - lens, 0, None)] + s
+
+
 def _zipf_weights(n: int, a: float = 1.5) -> np.ndarray:
     w = 1.0 / np.arange(1, n + 1) ** a
     return w / w.sum()
@@ -79,10 +89,9 @@ def make_sequences_batch(
     # doc_id = "{source}/{day}/{shard:04d}-{seq:08d}"; malformed rows drop the
     # day segment → the grok pattern cannot match.
     malformed = (rows % malformed_every) == 17
-    shard_seq = np.char.add(
-        np.char.add(np.char.zfill(shard.astype("U4"), 4), "-"),
-        np.char.zfill(rows.astype("U8"), 8),
-    ).astype(object)
+    shard_seq = (
+        _zfill_widen(shard, 4) + "-" + _zfill_widen(rows, 8)
+    )
     ok_ids = sources + "/" + days + "/" + shard_seq
     bad_ids = sources + "/" + shard_seq
     doc_id = np.where(malformed, bad_ids, ok_ids)

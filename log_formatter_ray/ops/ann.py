@@ -48,12 +48,18 @@ class _PartialTopK:
         S = V @ self.Q.T  # (n, q)
         ids = np.asarray(batch[self.id_col])
         k = min(self.k, n)
-        top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, q)
-        q_idx = np.repeat(np.arange(self.Q.shape[0]), k)
-        rows = top.T.reshape(-1)  # per query, its k row indices
+        out_rows, out_q = [], []
+        for q in range(self.Q.shape[0]):
+            # deterministic (-cos, id) order even among cosine ties —
+            # argpartition at the cut would keep an arbitrary tied subset
+            order = np.lexsort((ids, -S[:, q]))[:k]
+            out_rows.append(order)
+            out_q.append(np.full(k, q, np.int32))
+        rows = np.concatenate(out_rows)
+        q_idx = np.concatenate(out_q)
         return pa.table(
             {
-                "query_idx": pa.array(q_idx.astype(np.int32)),
+                "query_idx": pa.array(q_idx),
                 self.id_col: pa.array(ids[rows]),
                 "cos": pa.array(S[rows, q_idx], pa.float64()),
             }

@@ -64,10 +64,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     hashed = ds.map_batches(_add_content_hash(text_col, "_h"), batch_format="pyarrow")
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        # head(1) keeps the WHOLE min-id row; .first() would take the first
+        # non-null value per column, splicing fields from dropped duplicates.
         return (
             group.sort_values(id_col)
-            .groupby(text_col, as_index=False, sort=False)
-            .first()
+            .groupby(text_col, sort=False, group_keys=False)
+            .head(1)
         )
 
     out = hashed.groupby("_h").map_groups(keep_first, batch_format="pandas")
@@ -204,7 +206,7 @@ def minhash_lsh_clusters(
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
-    )
+    ).materialize()  # consumed twice (sig_map + band explode): compute once
     sig_map: dict = {}
     for b in sigs.iter_batches(batch_format="pyarrow"):
         n = len(b)
@@ -256,6 +258,8 @@ def dedup_by_clusters(ds, clusters: pd.DataFrame, id_col: str = "doc_id"):
     """Drop every cluster member except its representative — the drop set is
     broadcast (small) and applied as a vectorized filter per batch."""
     drop = set(clusters.loc[clusters["id"] != clusters["rep"], "id"].tolist())
+    if not drop:  # nothing to drop; an empty pa.array is null-typed and
+        return ds  # would make pc.is_in raise against a string column
     drop_ref = ray.put(pa.array(list(drop)))
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -290,6 +294,7 @@ def simhash_candidates(ds, id_col: str = "doc_id", hamming: int = 3) -> pd.DataF
     """Near-dup candidate pairs with Hamming(simhash) ≤ ``hamming``, found by
     banding the 64-bit signature into 4×16-bit chunks (pigeonhole: distance
     ≤3 ⇒ at least one chunk equal). Requires a ``simhash`` column."""
+    ds = ds.materialize()  # four union branches would re-execute upstream
     parts = []
     for band in range(4):
         shift = np.uint64(16 * band)

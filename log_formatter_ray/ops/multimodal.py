@@ -81,18 +81,25 @@ class ImageDecoder:
             self._pil = Image
         except ImportError:
             self._pil = None
+        # STUB GATE: flip to True only after implementing _decode_real —
+        # probing _pil alone would abort the stage wherever pillow happens
+        # to be importable even though the real kernel is not written.
+        self._use_real = False
 
-    def _decode_real(self, payload: bytes):  # pragma: no cover
+    def _decode_real(self, payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
         raise NotImplementedError(
-            "real image decode requires PIL; install pillow and implement "
-            "Image.open(BytesIO(payload))"
+            "real image decode requires PIL; implement "
+            "Image.open(BytesIO(payload)) -> (width, height, mean) and set "
+            "self._use_real = True in __init__"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means = [], [], []
         for payload in batch["payload"].to_pylist():
-            if self._pil is not None:
-                self._decode_real(payload)
+            if self._use_real:  # pragma: no cover
+                w, h, mean = self._decode_real(payload)
+                widths.append(w); heights.append(h); means.append(mean)
+                continue
             w, h, _c, _f = _parse_header(payload)
             body = np.frombuffer(payload[20:], dtype=np.uint8)
             widths.append(w)

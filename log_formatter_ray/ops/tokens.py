@@ -156,6 +156,9 @@ def _histogram_partial(vocab_size: int, tokens_col: str):
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
         flat = tokens.values.to_numpy(zero_copy_only=False)
+        # ids outside [0, vocab_size) would crash bincount (negative) or
+        # return a longer array that breaks the driver merge — drop them
+        flat = flat[(flat >= 0) & (flat < vocab_size)]
         counts = np.bincount(flat, minlength=vocab_size).astype(np.int64)
         return pa.table({"hist": pa.array([counts.tolist()], pa.list_(pa.int64()))})
 

@@ -387,11 +387,21 @@ def run_flagship(
 
     parts = assign_partitions(files)
     done = load_manifests(out_dir) if resume else {}
-    # Drop stale manifests that no longer correspond to current inputs.
-    done = {pid: m for pid, m in done.items() if pid in parts}
-    pending = {pid: fs for pid, fs in parts.items() if pid not in done}
+    # Remove stale manifests (and their outputs) for partitions that no
+    # longer correspond to current inputs — leaving the files would make
+    # _metrics.json disagree with the run result.
+    from log_formatter_ray.state.manifest import manifest_dir
 
     data_dir = os.path.join(out_dir, "data")
+    for pid in list(done):
+        if pid not in parts:
+            del done[pid]
+            stale = os.path.join(manifest_dir(out_dir), f"{pid}.json")
+            if os.path.exists(stale):
+                os.remove(stale)
+            clean_partition_output(data_dir, pid)
+    pending = {pid: fs for pid, fs in parts.items() if pid not in done}
+
     for pid in pending:
         clean_partition_output(data_dir, pid)
 

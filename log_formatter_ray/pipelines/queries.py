@@ -520,7 +520,7 @@ def q_chunk_sequences(sf_dir: str):
     out = ds.map_batches(
         lambda b: chunk_sequences(b, max_len=512),
         batch_format="pyarrow", batch_size=None,
-    )
+    ).select_columns(["n_tok"]).materialize()  # count+sum: one execution
     return pa.table(
         {
             "n_chunks": pa.array([out.count()], pa.int64()),
@@ -562,8 +562,10 @@ def q_token_histogram_top(sf_dir: str):
 
 
 def q_distinct_embeddings(sf_dir: str):
-    """Distinct-on-list via content hash (no list shuffle)."""
-    import pandas as pd
+    """Distinct-on-list via content hash (no list shuffle).  Uses the
+    process-stable 64-bit hash — builtin ``hash()`` is salted per process,
+    which would over-count across Ray workers."""
+    from log_formatter_ray.ops.dedup import _stable_hash64
 
     ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
 
@@ -572,10 +574,9 @@ def q_distinct_embeddings(sf_dir: str):
         flat = np.asarray(emb.flatten(), dtype=np.float32)
         n = len(batch)
         dim = flat.size // n if n else 0
-        hashes = [
-            hash(flat[i * dim : (i + 1) * dim].tobytes()) for i in range(n)
-        ]
-        return pa.table({"h": pa.array(np.asarray(hashes, dtype=np.int64))})
+        byte_rows = [flat[i * dim : (i + 1) * dim].tobytes() for i in range(n)]
+        h = _stable_hash64(byte_rows).astype(np.int64)
+        return pa.table({"h": pa.array(h)})
 
     hashes = ds.map_batches(hash_batch, batch_format="pyarrow").to_pandas()
     return pa.table({"n": pa.array([int(hashes["h"].nunique())], pa.int64())})

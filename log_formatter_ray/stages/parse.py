@@ -127,10 +127,20 @@ class GrokParser:
         out_fields = dict(fields)
 
         if self.error_tolerant:
-            # pass-through-unenriched: failed rows keep original columns,
-            # extracted columns are null.
+            # pass-through-unenriched: failed rows keep original columns —
+            # including when a group name collides with an EXISTING column
+            # (the reference returns the doc untouched on failure,
+            # parser.go:63-77, so the old value must survive); brand-new
+            # columns are null for failed rows.
             for name, values in out_fields.items():
-                values = pc.if_else(ok, values, pa.scalar(None, values.type))
+                if (
+                    name in batch.column_names
+                    and batch[name].type == values.type
+                ):
+                    fallback = batch[name].combine_chunks()
+                    values = pc.if_else(ok, values, fallback)
+                else:
+                    values = pc.if_else(ok, values, pa.scalar(None, values.type))
                 batch = self._set_column(batch, name, values)
             batch = self._apply_casts(batch, out_fields)
             if self.ok_field:

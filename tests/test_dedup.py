@@ -109,3 +109,26 @@ def test_embedding_dup_pairs():
     assert (11, 25) in got
     for a, b, c in pairs.itertuples(index=False):
         assert c >= 0.99
+
+
+def test_exact_dedup_no_chimera_rows():
+    # the keeper must be the WHOLE min-id row — a null field on the keeper
+    # must NOT be backfilled from a dropped duplicate (pandas .first() trap)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": ["same", "same"],
+            "lang": [None, "en"],
+        }
+    )
+    got = exact_dedup(rd.from_arrow(t)).to_pandas()
+    assert len(got) == 1
+    assert got["doc_id"].iloc[0] == 1
+    assert got["lang"].iloc[0] is None  # keeper's own null, not the dup's "en"
+
+
+def test_dedup_by_clusters_empty_is_noop():
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["a", "b"]})
+    ds = rd.from_arrow(t)
+    empty = pd.DataFrame({"id": [], "rep": []})
+    assert dedup_by_clusters(ds, empty).count() == 2

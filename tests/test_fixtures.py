@@ -69,3 +69,13 @@ def test_golden_messages_reference_corpus():
     msgs = t["message"].to_pylist()
     assert msgs[0] == "2020-11-13 11:28:05 hello world"
     assert msgs[-1] == "2020-11-13 11:29:07 hello world"
+
+
+def test_doc_ids_widen_past_fixed_digits():
+    # shard ≥ 10^4 and seq ≥ 10^8 must widen, not truncate (U4/U8 trap)
+    b = make_sequences_batch(3, start_row=99_999_999, malformed_every=10**9)
+    ids = b["doc_id"].to_pylist()
+    seqs = [d.rsplit("-", 1)[1] for d in ids]
+    assert seqs == ["99999999", "100000000", "100000001"]
+    shards = [d.rsplit("/", 1)[1].split("-")[0] for d in ids]
+    assert shards[0] == "99999" and len(set(ids)) == 3

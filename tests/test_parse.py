@@ -180,3 +180,16 @@ def test_python_re_oracle(seq_batch):
     assert len(out) == len(expected)
     for col in ("day", "shard", "seq"):
         assert out[col].to_pylist() == [e[col] for e in expected]
+
+
+def test_tolerant_failure_preserves_existing_column():
+    # a capture group named like an EXISTING column must not null the old
+    # value on parse-failed rows (reference returns the doc untouched)
+    t = pa.table({"doc_id": ["web/x", "BAD"], "source": ["orig1", "orig2"]})
+    p = GrokParser(
+        components_regex=r"^(?P<source>\w+)/x$",
+        target_field="doc_id",
+        error_tolerant=True,
+    )
+    out = p(t)
+    assert out["source"].to_pylist() == ["web", "orig2"]

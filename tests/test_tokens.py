@@ -83,3 +83,13 @@ def test_token_histogram_matches_numpy(seq_batch):
     expected = np.bincount(flat, minlength=50257)
     assert np.array_equal(hist, expected)
     assert hist.sum() == seq_batch.to_pandas()["n_tok"].sum()
+
+
+def test_token_histogram_out_of_range_ids_dropped():
+    t = pa.table(
+        {"tokens": pa.array([[1, 2, 99], [-5, 2]], pa.list_(pa.int32()))}
+    )
+    hist = token_histogram(rd.from_arrow(t), vocab_size=10)
+    assert hist.shape == (10,)
+    assert hist[1] == 1 and hist[2] == 2
+    assert hist.sum() == 3  # 99 and -5 dropped, no crash
