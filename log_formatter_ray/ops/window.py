@@ -58,6 +58,77 @@ def tumbling_window_count(
     return agg.map_batches(recast, batch_format="pyarrow")
 
 
+def sliding_window_count(
+    ds,
+    ts_col: str = "ts",
+    size_s: int = 3600,
+    slide_s: int = 900,
+    keys: list[str] | None = None,
+    count_alias: str = "n",
+):
+    """Sliding windows of ``size_s`` seconds every ``slide_s`` seconds
+    (``size_s`` must be a multiple of ``slide_s``).
+
+    Each event belongs to exactly ``size_s/slide_s`` windows; the explode is
+    a vectorized ``np.repeat`` inside ``map_batches`` (rows × r small key
+    rows, no payload), then the usual partial-agg count.  Window id =
+    window START timestamp.
+    """
+    import numpy as np
+
+    if size_s % slide_s:
+        raise ValueError("size_s must be a multiple of slide_s")
+    r = size_s // slide_s
+    keys = keys or []
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].combine_chunks()
+        epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (epoch_us // (slide_s * 1_000_000)) * slide_s  # seconds
+        n = len(batch)
+        starts = np.repeat(base, r) - np.tile(
+            np.arange(r, dtype=np.int64) * slide_s, n
+        )
+        cols = {
+            "window": pa.array(starts * 1_000_000).cast(pa.timestamp("us")),
+        }
+        for k in keys:
+            col = batch[k].combine_chunks()
+            cols[k] = col.take(pa.array(np.repeat(np.arange(n), r)))
+        return pa.table(cols)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    agg = grouped_count(exploded, ["window", *keys], count_alias=count_alias)
+
+    def recast(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("window")
+        return t.set_column(i, "window", pc.cast(t["window"], pa.timestamp("us")))
+
+    return agg.map_batches(recast, batch_format="pyarrow")
+
+
+def topk_per_group(
+    ds,
+    group_keys: list[str],
+    order_col: str,
+    k: int = 3,
+    descending: bool = True,
+    tiebreak_cols: list[str] | None = None,
+):
+    """Top-k rows per group by ``order_col`` with deterministic tie-break
+    (``tiebreak_cols`` ascending).  Shuffles by ``group_keys`` only."""
+    tiebreak_cols = tiebreak_cols or []
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            [order_col, *tiebreak_cols],
+            ascending=[not descending] + [True] * len(tiebreak_cols),
+        )
+        return g.head(k)
+
+    return ds.groupby(group_keys).map_groups(head, batch_format="pandas")
+
+
 def session_windows(
     ds,
     key: str = "user_id",

@@ -417,6 +417,44 @@ def q_sessionize_events(sf_dir: str):
     return out.select_columns(["user_id", "session_start", "session_end", "n_events"])
 
 
+def q_sliding_window_events(sf_dir: str):
+    from log_formatter_ray.ops.window import sliding_window_count
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "event_type"])
+    return sliding_window_count(
+        ds, size_s=3600, slide_s=900, keys=["event_type"], count_alias="n"
+    )
+
+
+_SQL_SLIDING_WINDOW_EVENTS = """
+SELECT TIMESTAMP '1970-01-01 00:00:00'
+         + ((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) * INTERVAL '1 second'
+         AS window,
+       event_type, COUNT(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) s
+GROUP BY 1, 2
+"""
+
+
+def q_topk_users_per_type(sf_dir: str):
+    from log_formatter_ray.ops.window import topk_per_group
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    counts = grouped_count(ds, ["event_type", "user_id"], count_alias="n")
+    return topk_per_group(
+        counts, ["event_type"], "n", k=3, tiebreak_cols=["user_id"]
+    )
+
+
+_SQL_TOPK_USERS_PER_TYPE = """
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+  FROM (SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2))
+WHERE rn <= 3
+"""
+
+
 _SQL_SESSIONIZE_EVENTS = """
 WITH d AS (
   SELECT user_id, ts,
@@ -615,6 +653,8 @@ QUERIES = {
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "langid_documents": q_langid_documents,
     "window_events_hourly": q_window_events_hourly,
+    "sliding_window_events": q_sliding_window_events,
+    "topk_users_per_type": q_topk_users_per_type,
     "sessionize_events": q_sessionize_events,
     "ann_top10": q_ann_top10,
     "ivf_ann_top10": q_ivf_ann_top10,
@@ -643,6 +683,8 @@ ORACLE_SQL = {
     "quality_stopwords": _SQL_QUALITY_STOPWORDS,
     "fingerprint_documents": _SQL_FINGERPRINT_DOCUMENTS,
     "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
+    "sliding_window_events": _SQL_SLIDING_WINDOW_EVENTS,
+    "topk_users_per_type": _SQL_TOPK_USERS_PER_TYPE,
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
     "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,

@@ -67,3 +67,52 @@ def test_session_windows_matches_pandas(events_ds):
     )
     # session row count conservation: Σ n_events == total events
     assert got["n_events"].sum() == len(df)
+
+
+def test_sliding_window_matches_duckdb(events_ds):
+    from log_formatter_ray.ops.window import sliding_window_count
+
+    got = (
+        sliding_window_count(events_ds, size_s=3600, slide_s=900, keys=["event_type"])
+        .to_pandas()
+        .sort_values(["window", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + ((CAST(floor(epoch(ts)/900) AS BIGINT) - k) * 900) * INTERVAL '1 second' AS window,
+               event_type, COUNT(*) AS n
+        FROM '{EVENTS}' CROSS JOIN (SELECT unnest(range(4)) AS k) s
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["window"].tolist() == exp["window"].tolist()
+    assert got["n"].tolist() == exp["n"].astype(int).tolist()
+    # every event lands in exactly size/slide = 4 windows
+    assert got["n"].sum() == 4 * 1000
+
+
+def test_sliding_window_validates_ratio(events_ds):
+    from log_formatter_ray.ops.window import sliding_window_count
+    import pytest
+
+    with pytest.raises(ValueError):
+        sliding_window_count(events_ds, size_s=3600, slide_s=1000)
+
+
+def test_topk_per_group(events_ds):
+    from log_formatter_ray.ops.window import topk_per_group
+    from log_formatter_ray.stages.aggregate import grouped_count
+
+    counts = grouped_count(events_ds, ["event_type", "user_id"], count_alias="n")
+    got = topk_per_group(counts, ["event_type"], "n", k=2, tiebreak_cols=["user_id"])
+    df = got.to_pandas()
+    assert df.groupby("event_type").size().max() == 2
+    # top entries really are the max counts per group
+    full = counts.to_pandas()
+    for et, g in df.groupby("event_type"):
+        best = full[full["event_type"] == et].sort_values(
+            ["n", "user_id"], ascending=[False, True]
+        ).head(2)
+        assert sorted(g["user_id"]) == sorted(best["user_id"])
