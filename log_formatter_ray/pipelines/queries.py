@@ -188,6 +188,29 @@ GROUP BY r_name, n_name
 """
 
 
+def q_join_orders_customers(sf_dir: str):
+    """Large-large hash join (Ray ``Dataset.join``, hash-partitioned on the
+    key — the shuffle-join path; broadcast enrich covers the small-side
+    case).  Aggregated per market segment for a compact oracle compare."""
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return grouped_count(joined, ["c_mktsegment"], count_alias="n_orders")
+
+
+_SQL_JOIN_ORDERS_CUSTOMERS = """
+SELECT c_mktsegment, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Route (fan-out rule cascade)
 # ---------------------------------------------------------------------------
@@ -636,6 +659,7 @@ QUERIES = {
     "parse_documents_source": q_parse_documents_source,
     "filter_project_lineitem": q_filter_project_lineitem,
     "enrich_customer_nation": q_enrich_customer_nation,
+    "join_orders_customers": q_join_orders_customers,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
     "tpch_q1_style": q_tpch_q1_style,
@@ -671,6 +695,7 @@ ORACLE_SQL = {
     "parse_documents_source": _SQL_PARSE_DOCUMENTS_SOURCE,
     "filter_project_lineitem": _SQL_FILTER_PROJECT_LINEITEM,
     "enrich_customer_nation": _SQL_ENRICH_CUSTOMER_NATION,
+    "join_orders_customers": _SQL_JOIN_ORDERS_CUSTOMERS,
     "route_events": _SQL_ROUTE_EVENTS,
     "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
     "tpch_q1_style": _SQL_TPCH_Q1_STYLE,
