@@ -131,6 +131,20 @@ def add_rolling_fingerprint(
     return batch.append_column(out_col, pa.array(out.astype(np.int64)))
 
 
+def add_clean_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "clean_text"
+) -> pa.Table:
+    """Normalization: lowercase, collapse whitespace runs, strip ends — the
+    canonical first transform of a text pipeline, all RE2 kernels (DuckDB
+    parity: ``trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))``).
+    Note: RE2 ``\\s`` is ASCII-only (same in DuckDB and Go regexp), so
+    Unicode spaces like U+00A0 are deliberately NOT collapsed."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t.combine_chunks())
+
+
 # ---------------------------------------------------------------------------
 # Language ID: character n-gram profile heuristic (public-knowledge approach:
 # Cavnar & Trenkle '94 n-gram rank profiles, reduced to a tiny stopword/char

@@ -405,6 +405,31 @@ SELECT doc_id, md5(text) AS fp FROM documents
 """
 
 
+def q_clean_text_documents(sf_dir: str):
+    from log_formatter_ray.ops.textstats import add_clean_text
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(add_clean_text, batch_format="pyarrow").select_columns(
+        ["doc_id", "clean_text"]
+    )
+
+
+_SQL_CLEAN_TEXT_DOCUMENTS = r"""
+SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Rows-only: int8-quantized embeddings + max dequantization error
+    (invariant: error ≤ scale/2 per component, tested in test_ann)."""
+    from log_formatter_ray.ops.ann import quantize_embeddings
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ds.map_batches(quantize_embeddings, batch_format="pyarrow")
+    return out.select_columns(["vec_id", "embedding_q8", "q_scale"])
+
+
 def q_langid_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
@@ -674,6 +699,8 @@ QUERIES = {
     "token_count_documents": q_token_count_documents,
     "quality_stopwords": q_quality_stopwords,
     "fingerprint_documents": q_fingerprint_documents,
+    "clean_text_documents": q_clean_text_documents,
+    "quantize_embeddings": q_quantize_embeddings,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "langid_documents": q_langid_documents,
     "window_events_hourly": q_window_events_hourly,
@@ -707,6 +734,7 @@ ORACLE_SQL = {
     "token_count_documents": _SQL_TOKEN_COUNT_DOCUMENTS,
     "quality_stopwords": _SQL_QUALITY_STOPWORDS,
     "fingerprint_documents": _SQL_FINGERPRINT_DOCUMENTS,
+    "clean_text_documents": _SQL_CLEAN_TEXT_DOCUMENTS,
     "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
     "sliding_window_events": _SQL_SLIDING_WINDOW_EVENTS,
     "topk_users_per_type": _SQL_TOPK_USERS_PER_TYPE,

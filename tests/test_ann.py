@@ -55,3 +55,18 @@ def test_ivf_recall(emb_table):
     assert recall >= 0.5  # nprobe=4 of 8 clusters
     full = idx.search(assigned, q, k=10, nprobe=8)  # probing all = exact
     assert set(full["vec_id"].tolist()) == exact
+
+
+def test_quantize_embeddings_roundtrip(emb_table):
+    from log_formatter_ray.ops.ann import dequantize, quantize_embeddings
+
+    out = quantize_embeddings(emb_table.slice(0, 50))
+    V = np.stack(emb_table.slice(0, 50)["embedding"].to_pandas().to_numpy()).astype(np.float32)
+    Q = np.asarray(out["embedding_q8"].combine_chunks().flatten()).reshape(50, -1)
+    scale = np.asarray(out["q_scale"])
+    D = dequantize(Q, scale)
+    # per-component error bounded by scale/2
+    err = np.abs(D - V)
+    assert (err <= scale.reshape(-1, 1) / 2 + 1e-6).all()
+    # quantized top-1 neighbor of a vector is usually itself after roundtrip
+    assert np.abs(Q).max() <= 127

@@ -86,3 +86,21 @@ def test_langid_markers():
     )
     out = LangIdScorer()(t)["pred_lang"].to_pylist()
     assert out == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_clean_text_matches_duckdb(docs):
+    from log_formatter_ray.ops.textstats import add_clean_text
+
+    got = add_clean_text(docs.slice(0, 100))["clean_text"].to_pylist()
+    exp = duckdb.sql(
+        rf"SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c "
+        rf"FROM (SELECT * FROM '{DOCS}' ORDER BY doc_id LIMIT 100)"
+    ).df()["c"].tolist()
+    assert got == exp
+
+
+def test_clean_text_normalizes():
+    from log_formatter_ray.ops.textstats import add_clean_text
+
+    t = pa.table({"text": ["  Hello   WORLD \t x ", "a\n\nb"]})
+    assert add_clean_text(t)["clean_text"].to_pylist() == ["hello world x", "a b"]
