@@ -1,0 +1,31 @@
+"""Importable test helpers (fault injection) — worker processes must be able
+to unpickle these, so they cannot live in the pytest modules."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+from log_formatter_ray.pipelines.flagship import RouteAndWrite
+
+
+class CrashOnceAfterWrite(RouteAndWrite):
+    """Fault injection: write the batch's files, then die on the first
+    attempt per batch — simulating a worker lost between its side-effect
+    write and task completion.  Used to prove retry idempotence (the
+    content-hashed filenames make the retry overwrite, not append)."""
+
+    def __init__(self, router, data_dir, flag_dir, **kw):
+        super().__init__(router, data_dir, **kw)
+        self.flag_dir = flag_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = super().__call__(batch)  # files are on disk now
+        key = batch["doc_id"][0].as_py().replace("/", "_")
+        flag = os.path.join(self.flag_dir, key)
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("crashed once")
+            raise RuntimeError("injected failure after write")
+        return out
