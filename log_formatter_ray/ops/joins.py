@@ -1,0 +1,94 @@
+"""Semi / anti joins via broadcast key sets (+ Bloom filter scale path).
+
+The guide's pattern: broadcast the small side's key set (or a Bloom filter
+of it) and filter inside ``map_batches`` — no shuffle of the big side.
+
+* ``semi_join`` / ``anti_join`` — EXACT: the full key set is broadcast
+  (``ray.put`` once, zero-copy per worker).  Right for key sets up to
+  ~10^8 (a few GB of Arrow).
+* ``BloomFilter`` — the beyond-RAM path: fixed-size bit array, k hashes;
+  false positives only (never false negatives), so a Bloom SEMI join may
+  keep extra rows and a Bloom ANTI join may drop extra rows — use it as a
+  pre-filter followed by the exact check on the survivors, which is the
+  standard two-phase plan at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from log_formatter_ray.ops.dedup import _stable_hash64
+
+
+def _key_filter(ds, key_col: str, keys: pa.Array, invert: bool):
+    keys_ref = ray.put(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[key_col], value_set=ray.get(keys_ref))
+        if invert:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=None)
+
+
+def semi_join(ds, key_col: str, keys) -> "object":
+    """Rows of ``ds`` whose ``key_col`` IS IN ``keys`` (exact broadcast)."""
+    return _key_filter(ds, key_col, pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys, invert=False)
+
+
+def anti_join(ds, key_col: str, keys) -> "object":
+    """Rows of ``ds`` whose ``key_col`` is NOT IN ``keys`` (exact broadcast)."""
+    return _key_filter(ds, key_col, pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys, invert=True)
+
+
+class BloomFilter:
+    """Simple double-hashing Bloom filter over 64-bit stable hashes.
+
+    ``m`` bits, ``k`` probes; FP rate ≈ (1 - e^{-kn/m})^k.  Serializable
+    (one numpy array) → broadcastable with ``ray.put``.
+    """
+
+    def __init__(self, num_items: int, fp_rate: float = 0.01):
+        m = int(-num_items * np.log(fp_rate) / (np.log(2) ** 2)) + 1
+        self.m = max(m, 64)
+        self.k = max(1, int(round(self.m / max(num_items, 1) * np.log(2))))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        h = _stable_hash64(list(values))
+        h1 = h % np.uint64(self.m)
+        h2 = (h >> np.uint64(32) | np.uint64(1)) % np.uint64(self.m)
+        # double hashing: pos_i = (h1 + i*h2) mod m   (Kirsch–Mitzenmacher)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def add(self, values) -> "BloomFilter":
+        pos = self._positions(values).reshape(-1)
+        np.bitwise_or.at(self.bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        return self
+
+    def contains(self, values) -> np.ndarray:
+        pos = self._positions(values)  # (k, n)
+        word = self.bits[pos // 64]
+        bit = (word >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+        return bit.all(axis=0).astype(bool)
+
+
+def bloom_semi_join(ds, key_col: str, bloom: BloomFilter):
+    """Bloom pre-filter semi join: keeps all true matches plus ~fp_rate
+    false positives; chain an exact ``semi_join`` on the survivors for an
+    exact result at scale."""
+    bloom_ref = ray.put(bloom)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        mask = bf.contains(batch[key_col].to_pylist())
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,70 @@
+"""Mergeable sketches: HyperLogLog approximate distinct count.
+
+The mergeable-sketch pattern for corpus-wide statistics (SURVEY custom
+operators): one small sketch per block inside ``map_batches``, merged on
+the driver — no shuffle, constant memory, mathematically mergeable
+(Flajolet et al. 2007; the standard public algorithm).
+
+Register width b=12 → 4096 registers, standard error ≈ 1.04/√4096 ≈ 1.6%.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from log_formatter_ray.ops.dedup import _stable_hash64
+
+_B = 12
+_M = 1 << _B
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def hll_sketch(values) -> np.ndarray:
+    """Dense HLL register array (uint8, len 4096) for a list of values."""
+    regs = np.zeros(_M, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _stable_hash64(list(values))
+    idx = (h & np.uint64(_M - 1)).astype(np.int64)
+    rest = h >> np.uint64(_B)
+    # rank = position of the leftmost 1-bit in the remaining 52 bits (1-based)
+    nbits = 64 - _B
+    rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+    found = np.zeros(len(h), dtype=bool)
+    for r in range(1, nbits + 1):
+        bit = (rest >> np.uint64(nbits - r)) & np.uint64(1)
+        newly = (~found) & (bit == 1)
+        rank[newly] = r
+        found |= newly
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * _M * _M / np.sum(2.0 ** -regs.astype(np.float64))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros:  # small-range correction
+        est = _M * np.log(_M / zeros)
+    return float(est)
+
+
+def approx_distinct(ds, col: str) -> float:
+    """Corpus-wide approximate COUNT(DISTINCT col): per-block sketches →
+    driver merge (4 KB per block crosses the wire, nothing shuffles)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        regs = hll_sketch(vals)
+        return pa.table({"sketch": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    total = np.zeros(_M, dtype=np.uint8)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for row in b["sketch"].to_pylist():
+            total = hll_merge(total, np.asarray(row, dtype=np.uint8))
+    return hll_estimate(total)

@@ -215,6 +215,57 @@ GROUP BY c_mktsegment
 # Route (fan-out rule cascade)
 # ---------------------------------------------------------------------------
 
+def q_semi_join_orders(sf_dir: str):
+    """Semi join via broadcast key set (no shuffle of the big side)."""
+    import pyarrow.parquet as pq
+    from log_formatter_ray.ops.joins import semi_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    kept = semi_join(orders, "o_custkey", keys.combine_chunks())
+    return grouped_count(kept, ["o_orderstatus"], count_alias="n")
+
+
+_SQL_SEMI_JOIN_ORDERS = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus
+"""
+
+
+def q_anti_join_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+    from log_formatter_ray.ops.joins import anti_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    orders = _tbl(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    kept = anti_join(orders, "o_custkey", keys.combine_chunks())
+    return grouped_count(kept, ["o_orderstatus"], count_alias="n")
+
+
+_SQL_ANTI_JOIN_ORDERS = """
+SELECT o_orderstatus, COUNT(*) AS n FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderstatus
+"""
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL sketch estimate (±~2%); invariance tested against the exact
+    count in tests — approximate by design, so rows-only here."""
+    from log_formatter_ray.ops.sketch import approx_distinct
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
+
+
 def q_route_events(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
     router = Router(
@@ -685,6 +736,9 @@ QUERIES = {
     "filter_project_lineitem": q_filter_project_lineitem,
     "enrich_customer_nation": q_enrich_customer_nation,
     "join_orders_customers": q_join_orders_customers,
+    "semi_join_orders": q_semi_join_orders,
+    "anti_join_orders": q_anti_join_orders,
+    "approx_distinct_users": q_approx_distinct_users,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
     "tpch_q1_style": q_tpch_q1_style,
@@ -723,6 +777,8 @@ ORACLE_SQL = {
     "filter_project_lineitem": _SQL_FILTER_PROJECT_LINEITEM,
     "enrich_customer_nation": _SQL_ENRICH_CUSTOMER_NATION,
     "join_orders_customers": _SQL_JOIN_ORDERS_CUSTOMERS,
+    "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
+    "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
     "route_events": _SQL_ROUTE_EVENTS,
     "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
     "tpch_q1_style": _SQL_TPCH_Q1_STYLE,

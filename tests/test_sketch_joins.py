@@ -1,0 +1,72 @@
+"""HLL sketch accuracy and semi/anti/bloom joins vs exact oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.ops.joins import BloomFilter, anti_join, bloom_semi_join, semi_join
+from log_formatter_ray.ops.sketch import approx_distinct, hll_estimate, hll_merge, hll_sketch
+
+
+def test_hll_accuracy_direct():
+    values = [f"user-{i}" for i in range(20_000)] * 2  # 20k distinct, 40k rows
+    est = hll_estimate(hll_sketch(values))
+    assert abs(est - 20_000) / 20_000 < 0.05  # 4096 registers → ~1.6% σ
+
+
+def test_hll_mergeability():
+    a = hll_sketch([f"a{i}" for i in range(5000)])
+    b = hll_sketch([f"a{i}" for i in range(2500, 7500)])  # 50% overlap
+    est = hll_estimate(hll_merge(a, b))
+    assert abs(est - 7500) / 7500 < 0.05
+
+
+def test_approx_distinct_on_dataset():
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet").repartition(4)
+    est = approx_distinct(ev, "user_id")
+    exact = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    true = len(set(exact["user_id"].to_pylist()))
+    assert abs(est - true) / true < 0.1
+
+
+@pytest.fixture()
+def orders_ds():
+    return rd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+
+def test_semi_anti_join_exact(orders_ds):
+    keys = list(range(1, 31))  # custkeys 1..30
+    got_semi = semi_join(orders_ds, "o_custkey", keys).to_pandas()
+    got_anti = anti_join(orders_ds, "o_custkey", keys).to_pandas()
+    full = pq.read_table("/root/testdata/sf0.001/orders.parquet").to_pandas()
+    exp_semi = full[full["o_custkey"].isin(keys)]
+    assert sorted(got_semi["o_orderkey"]) == sorted(exp_semi["o_orderkey"])
+    assert len(got_semi) + len(got_anti) == len(full)
+    assert not set(got_anti["o_custkey"]) & set(keys)
+
+
+def test_bloom_filter_properties():
+    bf = BloomFilter(num_items=1000, fp_rate=0.01)
+    members = [f"k{i}" for i in range(1000)]
+    bf.add(members)
+    assert bf.contains(members).all()  # NO false negatives, ever
+    probes = [f"other{i}" for i in range(10_000)]
+    fp = bf.contains(probes).mean()
+    assert fp < 0.03  # ~1% target
+
+
+def test_bloom_semi_join_superset_then_exact(orders_ds):
+    keys = [f"{i}" for i in range(1, 31)]
+    int_keys = list(range(1, 31))
+    bf = BloomFilter(num_items=30, fp_rate=0.01).add(int_keys)
+    pre = bloom_semi_join(orders_ds, "o_custkey", bf)
+    exact = semi_join(pre, "o_custkey", int_keys).to_pandas()
+    full = pq.read_table("/root/testdata/sf0.001/orders.parquet").to_pandas()
+    exp = full[full["o_custkey"].isin(int_keys)]
+    # two-phase (bloom prefilter + exact) == exact
+    assert sorted(exact["o_orderkey"]) == sorted(exp["o_orderkey"])
