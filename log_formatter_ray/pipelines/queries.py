@@ -256,6 +256,37 @@ GROUP BY o_orderstatus
 """
 
 
+def q_asof_join_events(sf_dir: str):
+    """As-of join: for each purchase, the most recent prior click by the
+    same user (DuckDB has native ASOF JOIN for the oracle)."""
+    from log_formatter_ray.ops.asof import asof_join
+
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join(
+        purchases, clicks, by="user_id", on="ts", right_value_cols=["value"]
+    )
+
+
+_SQL_ASOF_JOIN_EVENTS = """
+WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'),
+     p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts, c.ts AS ts_right, c.value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL sketch estimate (±~2%); invariance tested against the exact
     count in tests — approximate by design, so rows-only here."""
@@ -738,6 +769,7 @@ QUERIES = {
     "join_orders_customers": q_join_orders_customers,
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
+    "asof_join_events": q_asof_join_events,
     "approx_distinct_users": q_approx_distinct_users,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
@@ -779,6 +811,7 @@ ORACLE_SQL = {
     "join_orders_customers": _SQL_JOIN_ORDERS_CUSTOMERS,
     "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
     "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
+    "asof_join_events": _SQL_ASOF_JOIN_EVENTS,
     "route_events": _SQL_ROUTE_EVENTS,
     "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
     "tpch_q1_style": _SQL_TPCH_Q1_STYLE,

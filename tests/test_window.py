@@ -116,3 +116,36 @@ def test_topk_per_group(events_ds):
             ["n", "user_id"], ascending=[False, True]
         ).head(2)
         assert sorted(g["user_id"]) == sorted(best["user_id"])
+
+
+def test_asof_join_matches_pandas(events_ds):
+    from log_formatter_ray.ops.asof import asof_join
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    purchases = events_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    clicks = events_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts", "value"]),
+        batch_format="pyarrow")
+    got = (
+        asof_join(purchases, clicks, by="user_id", on="ts", right_value_cols=["value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    # pandas global-oracle
+    full = pq.read_table(EVENTS).to_pandas()
+    p = full[full.event_type == "purchase"][["event_id", "user_id", "ts"]].sort_values("ts")
+    c = full[full.event_type == "click"][["user_id", "ts", "value"]].sort_values("ts")
+    c = c.assign(ts_right=c["ts"])
+    exp = pd.merge_asof(p, c, on="ts", by="user_id", direction="backward") \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "ts_right", "value"]],
+        exp[["event_id", "ts_right", "value"]],
+        check_dtype=False,
+    )
+    assert len(got) == len(p)  # every purchase kept (left join)
+    assert got["event_id"].dtype == "int64"  # no float degradation
