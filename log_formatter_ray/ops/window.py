@@ -129,6 +129,27 @@ def topk_per_group(
     return ds.groupby(group_keys).map_groups(head, batch_format="pandas")
 
 
+def running_sequence_numbers(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "k",
+):
+    """Ordered per-key processing: 1-based sequence number of each row
+    within its key's timeline (ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY ts, id)).  Shuffles by key once; ordering is per group —
+    exactly the ordered-log assumption of stream processing on a batch
+    engine."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col]).copy()
+        g[out_col] = range(1, len(g) + 1)
+        return g
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
 def session_windows(
     ds,
     key: str = "user_id",

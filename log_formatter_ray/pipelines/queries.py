@@ -541,6 +541,21 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_running_seq_events(sf_dir: str):
+    from log_formatter_ray.ops.window import running_sequence_numbers
+
+    ds = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = running_sequence_numbers(ds)
+    return out.select_columns(["event_id", "user_id", "k"])
+
+
+_SQL_RUNNING_SEQ_EVENTS = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k
+FROM events
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
     out = session_windows(ds, gap_s=1800.0, value_col=None)
@@ -792,6 +807,7 @@ QUERIES = {
     "window_events_hourly": q_window_events_hourly,
     "sliding_window_events": q_sliding_window_events,
     "topk_users_per_type": q_topk_users_per_type,
+    "running_seq_events": q_running_seq_events,
     "sessionize_events": q_sessionize_events,
     "ann_top10": q_ann_top10,
     "ivf_ann_top10": q_ivf_ann_top10,
@@ -827,6 +843,7 @@ ORACLE_SQL = {
     "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
     "sliding_window_events": _SQL_SLIDING_WINDOW_EVENTS,
     "topk_users_per_type": _SQL_TOPK_USERS_PER_TYPE,
+    "running_seq_events": _SQL_RUNNING_SEQ_EVENTS,
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
     "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,

@@ -149,3 +149,20 @@ def test_asof_join_matches_pandas(events_ds):
     )
     assert len(got) == len(p)  # every purchase kept (left join)
     assert got["event_id"].dtype == "int64"  # no float degradation
+
+
+def test_running_sequence_numbers(events_ds):
+    from log_formatter_ray.ops.window import running_sequence_numbers
+
+    got = (
+        running_sequence_numbers(events_ds)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    full = pq.read_table(EVENTS).to_pandas()
+    exp = full.sort_values(["ts", "event_id"]).copy()
+    exp["k"] = exp.groupby("user_id").cumcount() + 1
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert got["k"].tolist() == exp["k"].tolist()
+    # per-user sequence is 1..n
+    m = got.groupby("user_id")["k"].agg(["min", "max", "count"])
+    assert (m["min"] == 1).all() and (m["max"] == m["count"]).all()
