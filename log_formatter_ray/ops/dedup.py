@@ -116,15 +116,29 @@ class MinHasher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
         k = self.shingle_k
-        for i, t in enumerate(texts):
+        # Collect every row's shingles, hash them in ONE vectorized call
+        # (one hash_array per batch instead of one per row), then take
+        # per-row minima with reduceat over the flat (num_perm, S) matrix.
+        all_shingles: list[str] = []
+        offsets = [0]
+        for t in texts:
             words = (t or "").split()
             if len(words) >= k:
-                shingles = list({" ".join(words[j : j + k]) for j in range(len(words) - k + 1)})
+                row = {" ".join(words[j : j + k]) for j in range(len(words) - k + 1)}
             else:
-                shingles = [" ".join(words)] if words else []
-            sigs[i] = self._signature(_stable_hash64(shingles))
+                row = {" ".join(words)} if words else set()
+            all_shingles.extend(row)
+            offsets.append(len(all_shingles))
+        offsets = np.asarray(offsets, dtype=np.int64)
+
+        sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
+        if all_shingles:
+            h = _stable_hash64(all_shingles) % _MERSENNE31  # (S,)
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
+            nonempty = offsets[:-1] < offsets[1:]
+            mins = np.minimum.reduceat(vals, offsets[:-1][nonempty], axis=1)
+            sigs[nonempty] = mins.T
         sig_list = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )
