@@ -61,38 +61,57 @@ def asof_join(
         return fn
 
     unioned = left_ds.map_batches(
-        pad("L", left_cols, rtypes), batch_format="pyarrow"
+        pad("L", left_cols, rtypes), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     ).union(
-        right_ds.map_batches(pad("R", right_keep, rtypes), batch_format="pyarrow")
+        right_ds.map_batches(
+            pad("R", right_keep, rtypes), batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     )
 
     on_r = f"{on}{suffix}"
     # left integer columns become float64 in pandas once the union pads the
-    # other side with nulls — restore them (left rows themselves have no nulls)
+    # other side with nulls — restore them with the NULLABLE Int64 dtype
+    # (a left row may itself carry nulls in an int column)
     left_int_cols = [
         c for c in left_cols if pa.types.is_integer(ltypes[c])
     ]
 
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        left = (
-            group.loc[group["_side"] == "L", left_cols]
-            .dropna(subset=[on])
-            .sort_values(on)
-        )
+        left_all = group.loc[group["_side"] == "L", left_cols]
         for c in left_int_cols:
-            left[c] = left[c].astype("int64")
+            left_all[c] = left_all[c].astype("Int64")
+        # left-join contract: null-`on` rows can never match but must
+        # SURVIVE with null match columns (the oracle keeps them too)
+        null_on = left_all[left_all[on].isna()].copy()
+        left = left_all.dropna(subset=[on]).sort_values(on)
         right = (
             group.loc[group["_side"] == "R", right_keep]
             .dropna(subset=[on])
             .sort_values(on)
         )
-        if left.empty:
-            return left
+        if left.empty and null_on.empty:
+            return left_all.iloc[0:0]
         right = right.copy()
+        for c in left_int_cols:  # merge_asof needs identical by/key dtypes
+            if c in right.columns:
+                right[c] = right[c].astype("Int64")
         right[on_r] = right[on]
-        out = pd.merge_asof(
-            left, right, on=on, by=by, direction=direction, suffixes=("", suffix)
-        )
+        if left.empty:
+            out = null_on
+        else:
+            out = pd.merge_asof(
+                left, right, on=on, by=by, direction=direction,
+                suffixes=("", suffix),
+            )
+        if not null_on.empty:
+            out = pd.concat([out, null_on], ignore_index=True)
+        # null-free int columns go back to plain int64 (the nullable Int64
+        # extension dtype would leak into the output schema otherwise)
+        for c in left_int_cols:
+            if not out[c].isna().any():
+                out[c] = out[c].astype("int64")
         return out
 
     return unioned.groupby(by).map_groups(per_key, batch_format="pandas")

@@ -106,13 +106,11 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
-    def _signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        if shingle_hashes.size == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        h = shingle_hashes % _MERSENNE31  # (s,) — 31-bit values
-        # (num_perm, s) matrix of (a*h + b) mod M31, exact in uint64
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
-        return vals.min(axis=1)
+    # Cap on the transient (num_perm × shingles) permutation matrix per
+    # slice: 1M shingles × 64 perms × 8 B ≈ 512 MB worst case; long-doc
+    # batches are processed in row slices under this bound instead of
+    # materializing one batch-wide matrix.
+    MAX_SLICE_SHINGLES = 1_000_000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -134,11 +132,34 @@ class MinHasher:
 
         sigs = np.zeros((len(texts), self.num_perm), dtype=np.uint64)
         if all_shingles:
-            h = _stable_hash64(all_shingles) % _MERSENNE31  # (S,)
-            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE31
-            nonempty = offsets[:-1] < offsets[1:]
-            mins = np.minimum.reduceat(vals, offsets[:-1][nonempty], axis=1)
-            sigs[nonempty] = mins.T
+            h_all = _stable_hash64(all_shingles) % _MERSENNE31  # (S,)
+            # slice rows so the (num_perm, slice_shingles) matrix stays
+            # bounded regardless of document lengths
+            row = 0
+            n_rows = len(texts)
+            while row < n_rows:
+                end = row
+                while (
+                    end < n_rows
+                    and (end == row
+                         or offsets[end + 1] - offsets[row] <= self.MAX_SLICE_SHINGLES)
+                ):
+                    end += 1
+                lo, hi = offsets[row], offsets[end]
+                if hi > lo:
+                    h = h_all[lo:hi]
+                    vals = (
+                        self.a[:, None] * h[None, :] + self.b[:, None]
+                    ) % _MERSENNE31
+                    local_off = offsets[row:end] - lo
+                    nonempty = local_off < (offsets[row + 1 : end + 1] - lo)
+                    if nonempty.any():
+                        mins = np.minimum.reduceat(
+                            vals, local_off[nonempty], axis=1
+                        )
+                        idx = np.arange(row, end)[nonempty]
+                        sigs[idx] = mins.T
+                row = end
         sig_list = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )

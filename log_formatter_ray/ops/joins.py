@@ -25,12 +25,26 @@ from log_formatter_ray.ops.dedup import _stable_hash64
 
 
 def _key_filter(ds, key_col: str, keys: pa.Array, invert: bool):
+    if len(keys) == 0:
+        # empty pa.array is null-typed → pc.is_in would raise against a
+        # typed column; the answers are trivial anyway
+        if invert:
+            return ds.map_batches(
+                lambda b: b.filter(pc.is_valid(b[key_col])),
+                batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+            )
+        return ds.map_batches(
+            lambda b: b.slice(0, 0),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+        )
     keys_ref = ray.put(keys)
 
     def fn(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch[key_col], value_set=ray.get(keys_ref))
         if invert:
-            mask = pc.invert(mask)
+            # SQL NOT IN drops NULL keys (unknown), but pc.is_in maps null
+            # → False, which invert would KEEP — mask nulls out explicitly.
+            mask = pc.and_(pc.invert(mask), pc.is_valid(batch[key_col]))
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
@@ -38,12 +52,14 @@ def _key_filter(ds, key_col: str, keys: pa.Array, invert: bool):
 
 
 def semi_join(ds, key_col: str, keys) -> "object":
-    """Rows of ``ds`` whose ``key_col`` IS IN ``keys`` (exact broadcast)."""
+    """Rows of ``ds`` whose ``key_col`` IS IN ``keys`` (exact broadcast;
+    null keys never match, same as SQL IN)."""
     return _key_filter(ds, key_col, pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys, invert=False)
 
 
 def anti_join(ds, key_col: str, keys) -> "object":
-    """Rows of ``ds`` whose ``key_col`` is NOT IN ``keys`` (exact broadcast)."""
+    """Rows of ``ds`` whose ``key_col`` is NOT IN ``keys`` (exact broadcast;
+    null keys are dropped, same as SQL NOT IN's unknown semantics)."""
     return _key_filter(ds, key_col, pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys, invert=True)
 
 
@@ -91,4 +107,6 @@ def bloom_semi_join(ds, key_col: str, bloom: BloomFilter):
         mask = bf.contains(batch[key_col].to_pylist())
         return batch.filter(pa.array(mask))
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )

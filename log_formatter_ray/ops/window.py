@@ -43,14 +43,18 @@ def tumbling_window_count(
     """Per-(window[, keys]) counts/sums with partial pre-aggregation —
     windows never shuffle raw events, only per-block partials."""
     keys = keys or []
-    win = ds.map_batches(
-        lambda b: add_tumbling_window(b, ts_col=ts_col, unit=unit),
-        batch_format="pyarrow",
-    )
+
+    def floor_as_int(b: pa.Table) -> pa.Table:
+        b = add_tumbling_window(b, ts_col=ts_col, unit=unit)
+        # int64 micros through the shuffle: Ray's sort-based groupby pickles
+        # nullable timestamp keys to binary objects and degrades precision;
+        # ints group/sort natively and ``recast`` restores timestamp[us].
+        i = b.column_names.index("window")
+        return b.set_column(i, "window", pc.cast(b["window"], pa.int64()))
+
+    win = ds.map_batches(floor_as_int, batch_format="pyarrow", batch_size=None)
     agg = grouped_count(win, ["window", *keys], count_alias=count_alias, sum_cols=sum_cols)
 
-    # Ray's groupby sort path degrades timestamps to second precision;
-    # restore microseconds so the schema matches the input (and DuckDB).
     def recast(t: pa.Table) -> pa.Table:
         i = t.column_names.index("window")
         return t.set_column(i, "window", pc.cast(t["window"], pa.timestamp("us")))
@@ -83,21 +87,31 @@ def sliding_window_count(
 
     def explode(batch: pa.Table) -> pa.Table:
         ts = batch[ts_col].combine_chunks()
-        epoch_us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        base = (epoch_us // (slide_s * 1_000_000)) * slide_s  # seconds
         n = len(batch)
+        valid = pc.is_valid(ts).to_numpy(zero_copy_only=False)
+        epoch_us = np.zeros(n, dtype=np.int64)
+        if valid.any():
+            epoch_us[valid] = ts.drop_null().cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        base = (epoch_us // (slide_s * 1_000_000)) * slide_s  # seconds
         starts = np.repeat(base, r) - np.tile(
             np.arange(r, dtype=np.int64) * slide_s, n
         )
-        cols = {
-            "window": pa.array(starts * 1_000_000).cast(pa.timestamp("us")),
-        }
+        # null timestamps → null window (SQL date arithmetic on NULL).
+        # Kept as INT64 micros through the shuffle: Ray's sort-based groupby
+        # pickles nullable timestamp keys into binary objects; ints with
+        # nulls sort natively.  ``recast`` restores timestamp[us] at the end.
+        win = pa.array(starts * 1_000_000, mask=~np.repeat(valid, r))
+        cols = {"window": win}
         for k in keys:
             col = batch[k].combine_chunks()
             cols[k] = col.take(pa.array(np.repeat(np.arange(n), r)))
         return pa.table(cols)
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     agg = grouped_count(exploded, ["window", *keys], count_alias=count_alias)
 
     def recast(t: pa.Table) -> pa.Table:

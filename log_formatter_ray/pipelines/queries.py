@@ -266,13 +266,13 @@ def q_asof_join_events(sf_dir: str):
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
             ["event_id", "user_id", "ts"]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     clicks = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
             ["user_id", "ts", "value"]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     return asof_join(
         purchases, clicks, by="user_id", on="ts", right_value_cols=["value"]

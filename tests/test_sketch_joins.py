@@ -61,7 +61,6 @@ def test_bloom_filter_properties():
 
 
 def test_bloom_semi_join_superset_then_exact(orders_ds):
-    keys = [f"{i}" for i in range(1, 31)]
     int_keys = list(range(1, 31))
     bf = BloomFilter(num_items=30, fp_rate=0.01).add(int_keys)
     pre = bloom_semi_join(orders_ds, "o_custkey", bf)
@@ -70,3 +69,14 @@ def test_bloom_semi_join_superset_then_exact(orders_ds):
     exp = full[full["o_custkey"].isin(int_keys)]
     # two-phase (bloom prefilter + exact) == exact
     assert sorted(exact["o_orderkey"]) == sorted(exp["o_orderkey"])
+
+
+def test_semi_anti_join_empty_keys_and_nulls():
+    t = pa.table({"k": pa.array(["a", "b", None], pa.string()), "v": [1, 2, 3]})
+    ds = rd.from_arrow(t)
+    # empty key set: semi → nothing, anti → everything EXCEPT null keys
+    assert semi_join(ds, "k", []).count() == 0
+    assert anti_join(ds, "k", []).to_pandas()["v"].tolist() == [1, 2]
+    # null keys never match IN, and NOT IN drops them (SQL unknown)
+    assert semi_join(ds, "k", ["a"]).to_pandas()["v"].tolist() == [1]
+    assert sorted(anti_join(ds, "k", ["a"]).to_pandas()["v"].tolist()) == [2]
