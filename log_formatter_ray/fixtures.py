@@ -100,9 +100,19 @@ def make_sequences_batch(
     lens = np.clip(rng.lognormal(6.0, 0.6, size=num_rows), MIN_LEN, MAX_LEN).astype(np.int64)
     total = int(lens.sum())
     values = rng.integers(0, VOCAB_SIZE, size=total, dtype=np.int32)
-    offsets = np.zeros(num_rows + 1, dtype=np.int32)
+    offsets = np.zeros(num_rows + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(values))
+    # list<int32> carries int32 offsets; past 2^31 total tokens per chunk the
+    # cast would wrap negative and corrupt the ListArray — fail loudly (split
+    # the corpus into more files instead of widening the schema).
+    if total >= 2**31:
+        raise ValueError(
+            f"chunk of {total} tokens overflows int32 list offsets; "
+            "generate with more files so each chunk stays under 2^31 tokens"
+        )
+    tokens = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32), pa.int32()), pa.array(values)
+    )
 
     return pa.table(
         {

@@ -87,6 +87,7 @@ def brute_force_topk(
         _PartialTopK,
         fn_constructor_args=(qref, k_local, emb_col, id_col),
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
     ).to_pandas()
     if exclude_ids:
@@ -164,7 +165,9 @@ class IVFIndex:
             cl = (V @ C.T).argmax(axis=1)
             return batch.append_column("cluster", pa.array(cl.astype(np.int32)))
 
-        return ds.map_batches(tag, batch_format="pyarrow")
+        return ds.map_batches(
+            tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
 
     def search(
         self,
@@ -183,6 +186,6 @@ class IVFIndex:
 
         filtered = assigned_ds.map_batches(
             lambda b: b.filter(pc.is_in(b["cluster"], value_set=probe_set)),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
         return brute_force_topk(filtered, queries, k=k, emb_col=emb_col, id_col=id_col)

@@ -78,13 +78,30 @@ def asof_join(
         c for c in left_cols if pa.types.is_integer(ltypes[c])
     ]
 
+    # suffixed names for right value columns that collide with a left column
+    # (mirrors merge_asof's suffixes=("", suffix) behavior)
+    value_out_cols = [
+        (c + suffix) if c in left_cols else c for c in right_value_cols
+    ]
+    expected_cols = left_cols + [on_r] + value_out_cols
+
     def per_key(group: pd.DataFrame) -> pd.DataFrame:
         left_all = group.loc[group["_side"] == "L", left_cols]
         for c in left_int_cols:
             left_all[c] = left_all[c].astype("Int64")
         # left-join contract: null-`on` rows can never match but must
-        # SURVIVE with null match columns (the oracle keeps them too)
+        # SURVIVE with null match columns (the oracle keeps them too).
+        # Pad them to the FULL output schema so every group returns
+        # identical columns (a group whose left rows are all null-ts would
+        # otherwise emit a narrower frame).
         null_on = left_all[left_all[on].isna()].copy()
+        if not null_on.empty:
+            null_on[on_r] = null_on[on]  # all-null, correctly typed
+            for c, oc in zip(right_value_cols, value_out_cols):
+                if oc not in null_on.columns:
+                    # reindex of an empty slice keeps the dtype where it can
+                    # (upcasting int→float exactly like an unmatched merge row)
+                    null_on[oc] = group[c].iloc[0:0].reindex(null_on.index)
         left = left_all.dropna(subset=[on]).sort_values(on)
         right = (
             group.loc[group["_side"] == "R", right_keep]
@@ -92,7 +109,7 @@ def asof_join(
             .sort_values(on)
         )
         if left.empty and null_on.empty:
-            return left_all.iloc[0:0]
+            return left_all.iloc[0:0].reindex(columns=expected_cols)
         right = right.copy()
         for c in left_int_cols:  # merge_asof needs identical by/key dtypes
             if c in right.columns:
@@ -105,8 +122,9 @@ def asof_join(
                 left, right, on=on, by=by, direction=direction,
                 suffixes=("", suffix),
             )
-        if not null_on.empty:
-            out = pd.concat([out, null_on], ignore_index=True)
+            if not null_on.empty:
+                out = pd.concat([out, null_on], ignore_index=True)
+        out = out.reindex(columns=expected_cols)
         # null-free int columns go back to plain int64 (the nullable Int64
         # extension dtype would leak into the output schema otherwise)
         for c in left_int_cols:

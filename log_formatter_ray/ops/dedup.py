@@ -9,21 +9,29 @@ Scale design notes (the part that must survive 100 TB):
   each group.  The only shuffle moves (hash, id, text) — not the token
   payload.
 * **MinHash+LSH** — signatures per batch in an actor pool (hash matrices
-  built once per actor), band-explode to (band, band_hash, id) rows — a few
-  dozen small rows per doc — and ``groupby`` the BANDS, never the corpus.
-  Candidate pairs estimate Jaccard from signature agreement (no second pass
-  over text); union-find over the (assumed sparse) candidate edge list runs
-  on the driver — the standard assumption that near-dup candidate edges
-  ≪ corpus size; if a band bucket explodes (degenerate content), its bucket
-  is truncated at ``max_bucket`` with a logged count.
-* **SimHash** — 64-bit signature per doc; candidates from 4×16-bit band
-  buckets (any pair within Hamming ≤3 shares ≥1 exact 16-bit band by
-  pigeonhole).
-* **Embedding** — random-hyperplane LSH buckets (broadcast projection
-  matrix), exact cosine within bucket only.
+  built once per actor), band-explode to (id, bucket_key, sig) rows, and
+  ``groupby`` COARSE bucket partitions (``bucket_key % coarse``), never the
+  corpus.  Within a coarse partition, equal-key runs are found vectorized
+  and only multi-member buckets pay any per-bucket work; candidate pairs
+  estimate Jaccard from signature agreement *inside the bucket* (the
+  signatures travel with the band rows — no driver-side signature map), and
+  the passing edges feed a distributed connected-components
+  (``ops/graph.py``) whose result is a Dataset.  The driver holds nothing
+  per-document.  Degenerate buckets are truncated at ``max_bucket`` with a
+  logged count.
+* **SimHash** — 64-bit signature per doc (vectorized batch-level votes);
+  candidates from 4×16-bit band buckets (any pair within Hamming ≤3 shares
+  ≥1 exact 16-bit band by pigeonhole), same coarse-partition + capped-bucket
+  pairing, Dataset output.
+* **Embedding** — multi-band random-hyperplane LSH (OR-construction across
+  ``bands`` independent hyperplane sets raises recall; ``nbits`` per band
+  keeps buckets small), capped buckets, blocked cosine inside each bucket,
+  Dataset output deduplicated across bands.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -32,7 +40,13 @@ import pyarrow.compute as pc
 
 import ray
 
+from log_formatter_ray.ops.graph import connected_components
+
+logger = logging.getLogger("log_formatter_ray")
+
 _MERSENNE31 = np.uint64((1 << 31) - 1)
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _stable_hash64(values) -> np.ndarray:
@@ -61,7 +75,10 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     shuffle key), but the keeper is chosen per *actual* content within the
     group.
     """
-    hashed = ds.map_batches(_add_content_hash(text_col, "_h"), batch_format="pyarrow")
+    hashed = ds.map_batches(
+        _add_content_hash(text_col, "_h"),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         # head(1) keeps the WHOLE min-id row; .first() would take the first
@@ -171,48 +188,86 @@ class MinHasher:
         )
 
 
-def _band_explode(num_perm: int, bands: int, id_col: str):
+def _band_explode(num_perm: int, bands: int, id_col: str, coarse: int):
+    """(id, sig) → one row per band: (id, part, bucket_key, sig).
+
+    ``bucket_key`` mixes (band, band-hash) into one int64 — a single-column
+    uniform shuffle key; ``part = bucket_key % coarse`` is the groupby key so
+    the shuffle sees ``coarse`` uniform partitions instead of one group per
+    bucket (most buckets are singletons — per-group Python overhead at
+    corpus scale would dwarf the real work).
+    """
     rows_per_band = num_perm // bands
 
     def fn(batch: pa.Table) -> pa.Table:
         n = len(batch)
         sigs = np.asarray(batch["sig"].combine_chunks().flatten()).reshape(n, num_perm)
-        ids = batch[id_col].to_pylist()
-        band_ids = np.tile(np.arange(bands), n)
+        ids = batch[id_col].combine_chunks()
         # band hash: mix the r signature values of each band into one uint64
         chunks = sigs.reshape(n, bands, rows_per_band).astype(np.uint64)
         mixed = np.zeros((n, bands), dtype=np.uint64)
         for j in range(rows_per_band):
-            mixed = mixed * np.uint64(1099511628211) + chunks[:, :, j]
+            mixed = mixed * _FNV_PRIME + chunks[:, :, j]
+        # fold the band index in so equal band-hashes in different bands
+        # stay distinct buckets
+        mixed ^= _GOLDEN64 * (np.arange(1, bands + 1, dtype=np.uint64))[None, :]
+        keys = mixed.reshape(-1).astype(np.int64)
+        rep_idx = pa.array(np.repeat(np.arange(n), bands))
         return pa.table(
             {
-                id_col: pa.array(np.repeat(ids, bands)),
-                "band": pa.array(band_ids.astype(np.int32)),
-                "band_hash": pa.array(mixed.reshape(-1).astype(np.int64)),
+                id_col: ids.take(rep_idx),
+                "part": pa.array((keys % coarse).astype(np.int32)),
+                "bucket_key": pa.array(keys),
+                "sig": batch["sig"].combine_chunks().take(rep_idx),
             }
         )
 
     return fn
 
 
-class _UnionFind:
-    def __init__(self):
-        self.parent: dict = {}
+def _run_bounds(sorted_keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end indices of equal-key runs in an already-sorted key array."""
+    bounds = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    starts = np.r_[0, bounds]
+    ends = np.r_[bounds, len(sorted_keys)]
+    return starts, ends
 
-    def find(self, x):
-        p = self.parent.setdefault(x, x)
-        while p != x:
-            self.parent[x] = p = self.parent.setdefault(p, p)
-            x = p
-            p = self.parent[x]
-        return x
 
-    def union(self, a, b):
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            # smaller id becomes the representative (deterministic)
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            self.parent[hi] = lo
+def _minhash_bucket_edges(id_col: str, num_perm: int, threshold: float,
+                          max_bucket: int):
+    """Per coarse partition: find equal-``bucket_key`` runs, estimate
+    Jaccard from signature agreement inside each multi-member bucket, emit
+    passing edges (a < b).  Only multi-member buckets pay per-bucket work."""
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["bucket_key", id_col], kind="stable")
+        keys = g["bucket_key"].to_numpy()
+        ids = g[id_col].to_numpy()
+        sig_col = g["sig"].to_numpy()
+        out_a, out_b = [], []
+        starts, ends = _run_bounds(keys)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                logger.warning(
+                    "minhash bucket %d truncated: %d -> %d members",
+                    int(keys[s]), int(e - s), max_bucket,
+                )
+                e = s + max_bucket
+            S = np.stack(sig_col[s:e])  # (B, num_perm)
+            est = (S[:, None, :] == S[None, :, :]).mean(axis=2)
+            iu, ju = np.triu_indices(e - s, k=1)
+            m = est[iu, ju] >= threshold
+            out_a.append(ids[s:e][iu[m]])
+            out_b.append(ids[s:e][ju[m]])
+        if out_a:
+            return pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            )
+        return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
+
+    return fn
 
 
 def minhash_lsh_clusters(
@@ -226,12 +281,20 @@ def minhash_lsh_clusters(
     seed: int = 42,
     concurrency=(1, 8),
     max_bucket: int = 200,
-) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering → DataFrame (id, rep) for docs in
-    clusters of size ≥ 2 (rep = min id in cluster).
+    coarse: int = 4096,
+    cc_mode: str = "auto",
+):
+    """MinHash-LSH near-dup clustering → Dataset (id, rep) for docs in
+    clusters of size ≥ 2 (rep = min id in cluster), sorted by id.
 
-    Shuffle footprint: only (id, band, band_hash) rows and the per-bucket
-    signature fetch — the corpus itself never shuffles.
+    Fully distributed: signatures travel with the band rows (≈ num_perm×8 B
+    × bands per doc through the one LSH shuffle — the corpus itself never
+    shuffles), Jaccard is estimated inside each bucket, and the transitive
+    closure runs as distributed connected components (``ops/graph.py``);
+    the driver holds no per-document state.  ``coarse`` bounds per-group
+    width (rows/partition ≈ corpus×bands/coarse — raise it with corpus
+    size); ``cc_mode`` picks the components plan (see
+    ``connected_components``).
     """
     sigs = ds.map_batches(
         MinHasher,
@@ -240,58 +303,28 @@ def minhash_lsh_clusters(
             shingle_k=shingle_k, seed=seed,
         ),
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
-    ).materialize()  # consumed twice (sig_map + band explode): compute once
-    sig_map: dict = {}
-    for b in sigs.iter_batches(batch_format="pyarrow"):
-        n = len(b)
-        arr = np.asarray(b["sig"].combine_chunks().flatten()).reshape(n, num_perm)
-        for i, d in enumerate(b[id_col].to_pylist()):
-            sig_map[d] = arr[i]
-    # NOTE: sig_map materializes one small signature row per doc on the
-    # driver — fine to ~10^8 docs; beyond that, verify pairs with a
-    # distributed join of sigs onto the candidate edges instead.
-
+    )
     exploded = sigs.map_batches(
-        _band_explode(num_perm, bands, id_col), batch_format="pyarrow"
+        _band_explode(num_perm, bands, id_col, coarse),
+        batch_format="pyarrow", batch_size=None,
     )
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].tolist())
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
-
-    pairs = (
-        exploded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    edges = exploded.groupby("part").map_groups(
+        _minhash_bucket_edges(id_col, num_perm, threshold, max_bucket),
+        batch_format="pandas",
     )
-    uf = _UnionFind()
-    if len(pairs):
-        pairs = pairs.drop_duplicates()
-        for a, b in zip(pairs["a"], pairs["b"]):
-            est = float(np.mean(sig_map[a] == sig_map[b]))
-            if est >= threshold:
-                uf.union(a, b)
-    reps = {x: uf.find(x) for x in list(uf.parent)}
-    out = (
-        pd.DataFrame({"id": list(reps), "rep": list(reps.values())})
-        .sort_values("id")
-        .reset_index(drop=True)
-    )
-    sizes = out.groupby("rep")["id"].transform("size")
-    return out[sizes >= 2].reset_index(drop=True)
+    labels = connected_components(edges, mode=cc_mode)
+    return labels.sort("id")
 
 
-def dedup_by_clusters(ds, clusters: pd.DataFrame, id_col: str = "doc_id"):
+def dedup_by_clusters(ds, clusters, id_col: str = "doc_id"):
     """Drop every cluster member except its representative — the drop set is
-    broadcast (small) and applied as a vectorized filter per batch."""
+    broadcast (small relative to the corpus by the near-dup assumption) and
+    applied as a vectorized filter per batch.  ``clusters`` is the (id, rep)
+    Dataset/DataFrame from ``minhash_lsh_clusters``."""
+    if not isinstance(clusters, pd.DataFrame):
+        clusters = clusters.to_pandas()
     drop = set(clusters.loc[clusters["id"] != clusters["rep"], "id"].tolist())
     if not drop:  # nothing to drop; an empty pa.array is null-typed and
         return ds  # would make pc.is_in raise against a string column
@@ -301,72 +334,151 @@ def dedup_by_clusters(ds, clusters: pd.DataFrame, id_col: str = "doc_id"):
         mask = pc.invert(pc.is_in(batch[id_col], value_set=ray.get(drop_ref)))
         return batch.filter(mask)
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(
+        keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
+# Transient (words × 64) vote matrix cap per slice: 1M words × 64 × 4 B
+# ≈ 256 MB worst case; larger batches are processed in row slices.
+_SIMHASH_MAX_SLICE_WORDS = 1_000_000
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash") -> pa.Table:
     """64-bit SimHash over word hashes (Charikar '02): per bit, sign of the
-    sum of ±1 votes from each word's hash bit."""
-    out = np.zeros(len(batch), dtype=np.uint64)
+    sum of ±1 votes from each word's hash bit.  Fully vectorized: one Arrow
+    whitespace split + ONE ``hash_array`` per batch, per-row vote sums via
+    ``np.add.reduceat`` (no per-row Python)."""
+    n = len(batch)
+    text = pc.fill_null(batch[text_col].combine_chunks(), "")
+    words = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = words.flatten()
+    # regex split leaves empty strings at leading/trailing whitespace —
+    # Python str.split() (the semantic contract) drops them
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    keep = np.asarray(keep, dtype=bool)
+    kept_per_row = np.zeros(n, dtype=np.int64)
+    nonempty_rows = offsets[:-1] < offsets[1:]
+    if keep.size:
+        sums = np.add.reduceat(keep.astype(np.int64), offsets[:-1][nonempty_rows])
+        kept_per_row[nonempty_rows] = sums
+    new_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_per_row, out=new_offsets[1:])
+    words_np = flat.to_numpy(zero_copy_only=False)[keep]
+
     bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(batch[text_col].to_pylist()):
-        words = (t or "").split()
-        if not words:
-            continue
-        h = _stable_hash64(words)
-        votes = (((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1).sum(
-            axis=0
-        )
-        out[i] = np.uint64(((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64))
+    out = np.zeros(n, dtype=np.uint64)
+    if words_np.size:
+        h = _stable_hash64(words_np)  # (W,)
+        votes = np.zeros((n, 64), dtype=np.int64)
+        has_words = kept_per_row > 0
+        row = 0
+        while row < n:
+            end = row
+            while end < n and (
+                end == row
+                or new_offsets[end + 1] - new_offsets[row] <= _SIMHASH_MAX_SLICE_WORDS
+            ):
+                end += 1
+            lo, hi = new_offsets[row], new_offsets[end]
+            if hi > lo:
+                hw = h[lo:hi]
+                pm = (
+                    ((hw[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int32)
+                    * 2 - 1
+                )  # (w, 64) of ±1
+                mask = has_words[row:end]
+                if mask.any():
+                    starts = (new_offsets[row:end] - lo)[mask]
+                    votes[np.arange(row, end)[mask]] = np.add.reduceat(
+                        pm, starts, axis=0
+                    )
+            row = end
+        out[has_words] = (
+            ((votes[has_words] > 0).astype(np.uint64)) << bits[None, :]
+        ).sum(axis=1, dtype=np.uint64)
     return batch.append_column(out_col, pa.array(out.astype(np.int64)))
 
 
-def simhash_candidates(ds, id_col: str = "doc_id", hamming: int = 3) -> pd.DataFrame:
-    """Near-dup candidate pairs with Hamming(simhash) ≤ ``hamming``, found by
-    banding the 64-bit signature into 4×16-bit chunks (pigeonhole: distance
-    ≤3 ⇒ at least one chunk equal). Requires a ``simhash`` column."""
-    ds = ds.materialize()  # four union branches would re-execute upstream
-    parts = []
-    for band in range(4):
-        shift = np.uint64(16 * band)
+def simhash_candidates(
+    ds, id_col: str = "doc_id", hamming: int = 3, max_bucket: int = 200,
+    coarse: int = 4096,
+):
+    """Near-dup candidate pairs with Hamming(simhash) ≤ ``hamming`` →
+    Dataset (a, b), found by banding the 64-bit signature into 4×16-bit
+    chunks (pigeonhole: distance ≤3 ⇒ at least one chunk equal).  Requires
+    a ``simhash`` column.
 
-        def key(batch: pa.Table, shift=shift, band=band) -> pa.Table:
-            sh = np.asarray(batch["simhash"].combine_chunks()).astype(np.uint64)
-            return pa.table(
-                {
-                    id_col: batch[id_col],
-                    "simhash": batch["simhash"],
-                    "band": pa.array(np.full(len(batch), band, np.int32)),
-                    "bkey": pa.array(((sh >> shift) & np.uint64(0xFFFF)).astype(np.int32)),
-                }
-            )
+    One explode pass (4 rows per doc, single int64 bucket key folding the
+    band index), coarse-partition groupby, capped buckets with a logged
+    truncation count, vectorized Hamming inside each bucket."""
 
-        parts.append(ds.map_batches(key, batch_format="pyarrow"))
-    exploded = parts[0].union(*parts[1:])
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        sh = np.asarray(batch["simhash"].combine_chunks()).astype(np.uint64)
+        band = np.arange(4, dtype=np.uint64)
+        keys = (
+            ((sh[:, None] >> (band[None, :] * np.uint64(16))) & np.uint64(0xFFFF))
+            | (band[None, :] << np.uint64(16))
+        ).reshape(-1).astype(np.int64)
+        rep_idx = pa.array(np.repeat(np.arange(n), 4))
+        return pa.table(
+            {
+                id_col: batch[id_col].combine_chunks().take(rep_idx),
+                "simhash": batch["simhash"].combine_chunks().take(rep_idx),
+                "part": pa.array((keys % coarse).astype(np.int32)),
+                "bucket_key": pa.array(keys),
+            }
+        )
+
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col)
-        ids = g[id_col].tolist()
-        sh = g["simhash"].astype(np.uint64).tolist()
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin(int(sh[i]) ^ int(sh[j])).count("1")
-                if d <= hamming:
-                    a.append(ids[i])
-                    b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+        g = group.sort_values(["bucket_key", id_col], kind="stable")
+        keys = g["bucket_key"].to_numpy()
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b = [], []
+        starts, ends = _run_bounds(keys)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                logger.warning(
+                    "simhash bucket %d truncated: %d -> %d members",
+                    int(keys[s]), int(e - s), max_bucket,
+                )
+                e = s + max_bucket
+            bits = np.unpackbits(
+                sh[s:e, None].copy().view(np.uint8), axis=1
+            )  # (B, 64)
+            d = (bits[:, None, :] != bits[None, :, :]).sum(axis=2)
+            iu, ju = np.triu_indices(e - s, k=1)
+            m = d[iu, ju] <= hamming
+            out_a.append(ids[s:e][iu[m]])
+            out_b.append(ids[s:e][ju[m]])
+        if out_a:
+            return pd.DataFrame(
+                {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+            )
+        return pd.DataFrame({"a": ids[:0], "b": ids[:0]})
 
-    out = (
-        exploded.groupby(["band", "bkey"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
+    cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
+    # the same pair can surface in several bands — distinct via one small
+    # groupby over the (sparse) pair set
+    return (
+        cand.groupby(["a", "b"]).count().select_columns(["a", "b"])
     )
-    return out.drop_duplicates().sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -392,6 +504,8 @@ def verify_pairs_jaccard(
 ) -> pd.DataFrame:
     """Exact n-gram Jaccard over candidate pairs.  Fetches ONLY the candidate
     docs' texts (broadcast id-set filter), never the corpus."""
+    if not isinstance(pairs, pd.DataFrame):
+        pairs = pairs.to_pandas()
     if not len(pairs):
         return pd.DataFrame(columns=["a", "b", "jaccard"])
     wanted = set(pairs["a"]) | set(pairs["b"])
@@ -402,7 +516,9 @@ def verify_pairs_jaccard(
             pc.is_in(batch[id_col], value_set=ray.get(want_ref))
         )
 
-    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    texts = ds.map_batches(
+        pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
     text_of = dict(zip(texts[id_col], texts[text_col]))
     sets = {d: ngram_set(t, n) for d, t in text_of.items()}
     js = [jaccard(sets[a], sets[b]) for a, b in zip(pairs["a"], pairs["b"])]
@@ -415,15 +531,20 @@ def verify_pairs_jaccard(
 # ---------------------------------------------------------------------------
 
 class HyperplaneBucketer:
-    """Random-hyperplane LSH bucket per row (broadcast projection matrix,
-    built once per actor)."""
+    """Multi-band random-hyperplane LSH: ``bands`` independent sets of
+    ``nbits`` hyperplanes (OR-construction — a pair is a candidate if it
+    collides in ANY band, raising recall the way extra MinHash bands do).
+    Emits ``bands`` rows per input row with a single int64 bucket key.
+    The projection matrix is built once per actor."""
 
-    def __init__(self, emb_col: str = "embedding", nbits: int = 8, dim: int | None = None,
-                 seed: int = 42):
+    def __init__(self, emb_col: str = "embedding", nbits: int = 8, bands: int = 2,
+                 dim: int | None = None, seed: int = 42, coarse: int = 4096):
         self.emb_col = emb_col
         self.nbits = nbits
+        self.bands = bands
         self.seed = seed
         self.dim = dim
+        self.coarse = coarse
         self._R = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -433,47 +554,96 @@ class HyperplaneBucketer:
         dim = flat.size // n
         if self._R is None:
             rng = np.random.default_rng(self.seed)
-            self._R = rng.standard_normal((dim, self.nbits)).astype(np.float32)
+            self._R = rng.standard_normal((dim, self.bands * self.nbits)).astype(
+                np.float32
+            )
         V = flat.reshape(n, dim)
-        signs = (V @ self._R) > 0
-        bucket = (signs.astype(np.uint32) << np.arange(self.nbits, dtype=np.uint32)).sum(axis=1)
-        return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
+        signs = ((V @ self._R) > 0).reshape(n, self.bands, self.nbits)
+        powers = (np.uint64(1) << np.arange(self.nbits, dtype=np.uint64))
+        codes = (signs.astype(np.uint64) * powers[None, None, :]).sum(axis=2)
+        band = np.arange(self.bands, dtype=np.uint64)
+        keys = (codes | (band[None, :] << np.uint64(self.nbits))).reshape(-1).astype(
+            np.int64
+        )
+        rep_idx = pa.array(np.repeat(np.arange(n), self.bands))
+        out = pa.table(
+            {
+                c: batch[c].combine_chunks().take(rep_idx)
+                for c in batch.column_names
+            }
+        )
+        out = out.append_column("part", pa.array((keys % self.coarse).astype(np.int32)))
+        return out.append_column("bucket_key", pa.array(keys))
 
 
 def embedding_dup_pairs(
     ds, emb_col: str = "embedding", id_col: str = "vec_id",
-    threshold: float = 0.95, nbits: int = 8, seed: int = 42, concurrency=(1, 4),
-) -> pd.DataFrame:
-    """Cosine ≥ threshold pairs, exact within hyperplane-LSH buckets.
+    threshold: float = 0.95, nbits: int = 10, bands: int = 2, seed: int = 42,
+    concurrency=(1, 4), max_bucket: int = 4000, block: int = 1024,
+    coarse: int = 4096,
+):
+    """Cosine ≥ threshold pairs, exact within multi-band hyperplane-LSH
+    buckets → Dataset (a, b, cos).
 
     Recall is probabilistic across buckets (standard LSH trade-off); raise
-    recall by lowering nbits or running multiple seeds and unioning pairs.
-    """
+    it with more ``bands`` (OR-construction) — NOT by lowering ``nbits``,
+    which blows bucket sizes up.  Buckets are capped at ``max_bucket``
+    members (logged) and cosine is computed in row blocks of ``block`` so
+    per-task memory stays bounded even on degenerate content."""
     bucketed = ds.map_batches(
         HyperplaneBucketer,
-        fn_constructor_kwargs=dict(emb_col=emb_col, nbits=nbits, seed=seed),
+        fn_constructor_kwargs=dict(
+            emb_col=emb_col, nbits=nbits, bands=bands, seed=seed, coarse=coarse
+        ),
         batch_format="pyarrow",
+        batch_size=None,
         concurrency=concurrency,
     )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        V = np.stack(group[emb_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        V = V / norms
-        S = V @ V.T
-        a, b, c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if S[i, j] >= threshold:
-                    x, y = sorted((ids[i], ids[j]))
-                    a.append(x); b.append(y); c.append(float(S[i, j]))
-        return pd.DataFrame({"a": a, "b": b, "cos": c})
+        g = group.sort_values(["bucket_key", id_col], kind="stable")
+        keys = g["bucket_key"].to_numpy()
+        ids = g[id_col].to_numpy()
+        emb = g[emb_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        starts, ends = _run_bounds(keys)
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            if e - s > max_bucket:
+                logger.warning(
+                    "embedding LSH bucket %d truncated: %d -> %d members",
+                    int(keys[s]), int(e - s), max_bucket,
+                )
+                e = s + max_bucket
+            V = np.stack(emb[s:e]).astype(np.float64)
+            norms = np.linalg.norm(V, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            V = V / norms
+            b_ids = ids[s:e]
+            for i0 in range(0, len(V), block):
+                S = V[i0 : i0 + block] @ V.T  # (≤block, B)
+                ii, jj = np.nonzero(S >= threshold)
+                gi = ii + i0
+                m = jj > gi  # upper triangle only (global indices)
+                out_a.append(b_ids[gi[m]])
+                out_b.append(b_ids[jj[m]])
+                out_c.append(S[ii[m], jj[m]])
+        if out_a:
+            return pd.DataFrame(
+                {
+                    "a": np.concatenate(out_a),
+                    "b": np.concatenate(out_b),
+                    "cos": np.concatenate(out_c).astype(np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {"a": ids[:0], "b": ids[:0], "cos": np.array([], np.float64)}
+        )
 
-    out = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
-    if out.empty or "a" not in out.columns:  # no near-dups anywhere
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "cos": pd.Series(dtype="float64")})
-    return out.sort_values(["a", "b"]).reset_index(drop=True)
+    cand = bucketed.groupby("part").map_groups(pairs, batch_format="pandas")
+    # distinct across bands (cos identical for a given pair: Max is a no-op
+    # merge that keeps one row per pair)
+    from ray.data.aggregate import Max
+
+    return cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))

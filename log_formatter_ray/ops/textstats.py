@@ -100,34 +100,73 @@ def add_rolling_fingerprint(
     batch: pa.Table, text_col: str = "text", out_col: str = "fp_roll", window: int = 16
 ) -> pa.Table:
     """Karp–Rabin rolling-hash fingerprint: min of rolling window hashes —
-    a winnowing-style content signature robust to concatenation position."""
-    # Mersenne-31 modulus keeps every intermediate < 2^40, safely inside
-    # uint64 (a 2^61-1 modulus would overflow h*base).
+    a winnowing-style content signature robust to concatenation position.
+
+    Fully vectorized over the batch's flat utf-8 buffer: window hashes are
+    one ``base``-power accumulation over the whole buffer (W vectorized
+    passes, no per-row or per-byte Python), per-row minima via one
+    ``np.minimum.reduceat``; rows shorter than the window are hashed
+    whole, grouped by length (≤ W-1 vectorized gathers)."""
+    # Mersenne-31 modulus: byte (2^8) × power (2^31) × window (2^4) < 2^43
+    # keeps the UN-reduced accumulator exact in uint64 — one mod at the end.
     base, mod = np.uint64(257), np.uint64((1 << 31) - 1)
-    out = np.zeros(len(batch), dtype=np.uint64)
-    for i, s in enumerate(batch[text_col].to_pylist()):
-        if not s:
+    n = len(batch)
+    arr = batch[text_col].combine_chunks()
+    off_buf = arr.buffers()[1]
+    if off_buf is None or n == 0:
+        return batch.append_column(out_col, pa.array(np.zeros(n, np.int64)))
+    offsets = np.frombuffer(off_buf, dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)
+        if data_buf is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = np.diff(offsets)
+    out = np.zeros(n, dtype=np.uint64)
+
+    # powers base^(window-1-t) mod m, t = 0..window-1
+    pw = np.empty(window, dtype=np.uint64)
+    pw[-1] = 1
+    for t in range(window - 2, -1, -1):
+        pw[t] = (pw[t + 1] * base) % mod
+
+    # --- rows with len >= window: rolling minima over the flat buffer ----
+    long_rows = np.flatnonzero(lens >= window)
+    n_starts = data.size - window + 1
+    if long_rows.size and n_starts > 0:
+        h = np.zeros(n_starts, dtype=np.uint64)
+        for t in range(window):
+            h += data[t : t + n_starts].astype(np.uint64) * pw[t]
+        h %= mod
+        starts = offsets[long_rows]
+        ends = offsets[long_rows + 1] - window + 1  # exclusive
+        idx = np.empty(2 * long_rows.size, dtype=np.int64)
+        idx[0::2] = starts
+        idx[1::2] = ends
+        if idx[-1] >= n_starts:  # last segment runs to the end implicitly
+            idx = idx[:-1]
+        mins = np.minimum.reduceat(h, idx)[0::2]
+        out[long_rows] = mins
+
+    # --- rows with 0 < len < window: whole-row hash, grouped by length ---
+    for ell in range(1, window):
+        rows = np.flatnonzero(lens == ell)
+        if not rows.size:
             continue
-        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.uint64)
-        if len(b) <= window:
-            h = np.uint64(0)
-            for c in b:
-                h = (h * base + c) % mod
-            out[i] = h
-            continue
-        # rolling windows, vectorized over positions
-        pw = np.uint64(1)
-        for _ in range(window - 1):
-            pw = (pw * base) % mod
-        h = np.uint64(0)
-        hs = np.empty(len(b) - window + 1, dtype=np.uint64)
-        for j, c in enumerate(b[:window]):
-            h = (h * base + c) % mod
-        hs[0] = h
-        for j in range(window, len(b)):
-            h = ((h + mod * base - (b[j - window] * pw) % mod) % mod * base + b[j]) % mod
-            hs[j - window + 1] = h
-        out[i] = hs.min()
+        gather = offsets[rows][:, None] + np.arange(ell)[None, :]
+        p_ell = np.empty(ell, dtype=np.uint64)
+        p_ell[-1] = 1
+        for t in range(ell - 2, -1, -1):
+            p_ell[t] = (p_ell[t + 1] * base) % mod
+        out[rows] = (data[gather].astype(np.uint64) * p_ell[None, :]).sum(
+            axis=1, dtype=np.uint64
+        ) % mod
+
+    if arr.null_count:
+        out[np.asarray(pc.is_null(arr).to_numpy(zero_copy_only=False), bool)] = 0
     return batch.append_column(out_col, pa.array(out.astype(np.int64)))
 
 

@@ -32,9 +32,10 @@ def chunk_sequences(
 ) -> pa.Table:
     """1 row → ⌈n_tok/max_len⌉ rows of ≤ max_len tokens.
 
-    Output: (id_col, chunk_idx:int32, tokens, n_tok:int32).  Token VALUES
-    are zero-copy slices of the input buffer (offsets are rebuilt; the
-    int32 payload is not copied).
+    Output: (id_col, chunk_idx:int32, tokens, n_tok:int32).  Token values
+    are copied ONCE via a single vectorized gather on the flat int32
+    buffer (chunks are contiguous, so this is one ``take``-shaped pass —
+    no per-chunk Python, no per-token boxing).
     """
     tokens = batch[tokens_col]
     if isinstance(tokens, pa.ChunkedArray):
@@ -59,14 +60,15 @@ def chunk_sequences(
     new_offsets[0] = 0
     np.cumsum(ends - starts, out=new_offsets[1:])
 
-    values = tokens.values
-    # gather the value ranges: build via one take on ranges → use
-    # np concatenate of slices is a copy; instead reuse the arrow buffer
-    # when chunks are contiguous per row (they are) by re-slicing:
-    flat = values.to_numpy(zero_copy_only=False)
-    gathered = np.concatenate(
-        [flat[s:e] for s, e in zip(starts, ends)] or [np.array([], np.int32)]
-    ).astype(np.int32, copy=False)
+    # one vectorized multi-range gather over the flat value buffer
+    flat = tokens.values.to_numpy(zero_copy_only=False)
+    sizes = ends - starts
+    total_out = int(new_offsets[-1])
+    chunk_of_out = np.repeat(np.arange(total, dtype=np.int64), sizes)
+    within = np.arange(total_out, dtype=np.int64) - np.repeat(
+        new_offsets[:-1], sizes
+    )
+    gathered = flat[starts[chunk_of_out] + within].astype(np.int32, copy=False)
     new_tokens = pa.ListArray.from_arrays(
         pa.array(new_offsets, pa.int32()), pa.array(gathered, pa.int32())
     )
@@ -126,26 +128,51 @@ def pack_sequences(
     flat = tokens.values.to_numpy(zero_copy_only=False)
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    out_tokens, out_ids, out_bounds = [], [], []
-    for members in bins:
-        parts, bounds, pos = [], [], 0
-        for i in members:
-            seg = flat[offsets[i] : offsets[i] + lens[i]]
-            parts.append(seg)
-            pos += len(seg)
-            bounds.append(pos)
-        out_tokens.append(np.concatenate(parts).astype(np.int32, copy=False))
-        out_ids.append([ids[i].as_py() for i in members])
-        out_bounds.append(bounds)
+    # Token assembly is ONE vectorized multi-range gather over the flat
+    # int32 buffer (never per-token Python): flatten the bin membership,
+    # gather every member's value range, and rebuild the list column from
+    # offsets — the FFD loop above only touches per-SEQUENCE metadata.
+    member_rows = (
+        np.concatenate([np.asarray(m, dtype=np.int64) for m in bins])
+        if bins else np.zeros(0, np.int64)
+    )
+    bin_sizes = np.asarray([len(m) for m in bins], dtype=np.int64)
+    seg_starts = offsets[member_rows]
+    seg_lens = lens[member_rows]
+    total_out = int(seg_lens.sum())
+    seg_cum = np.zeros(len(member_rows) + 1, dtype=np.int64)
+    np.cumsum(seg_lens, out=seg_cum[1:])
+    seg_of_out = np.repeat(np.arange(len(member_rows), dtype=np.int64), seg_lens)
+    within = np.arange(total_out, dtype=np.int64) - np.repeat(seg_cum[:-1], seg_lens)
+    values = flat[seg_starts[seg_of_out] + within].astype(np.int32, copy=False)
 
+    member_off = np.zeros(len(bins) + 1, dtype=np.int64)
+    np.cumsum(bin_sizes, out=member_off[1:])
+    bin_tok_counts = seg_cum[member_off[1:]] - seg_cum[member_off[:-1]]
+    bin_tok_off = np.zeros(len(bins) + 1, dtype=np.int64)
+    np.cumsum(bin_tok_counts, out=bin_tok_off[1:])
+    tokens_out = pa.ListArray.from_arrays(
+        pa.array(bin_tok_off.astype(np.int32), pa.int32()),
+        pa.array(values, pa.int32()),
+    )
+    # per-member boundary = cumulative tokens within its bin
+    bounds_flat = seg_cum[1:] - np.repeat(bin_tok_off[:-1], bin_sizes)
+    boundaries = pa.ListArray.from_arrays(
+        pa.array(member_off.astype(np.int32), pa.int32()),
+        pa.array(bounds_flat.astype(np.int32), pa.int32()),
+    )
+    doc_ids = pa.ListArray.from_arrays(
+        pa.array(member_off.astype(np.int32), pa.int32()),
+        ids.take(pa.array(member_rows)),
+    )
     return pa.table(
         {
             "pack_id": pa.array(range(len(bins)), pa.int64()),
-            "tokens": pa.array([t.tolist() for t in out_tokens], pa.list_(pa.int32())),
-            "n_tok": pa.array([len(t) for t in out_tokens], pa.int32()),
-            "n_seqs": pa.array([len(m) for m in bins], pa.int32()),
-            "doc_ids": pa.array(out_ids),
-            "boundaries": pa.array(out_bounds, pa.list_(pa.int32())),
+            "tokens": tokens_out,
+            "n_tok": pa.array(bin_tok_counts.astype(np.int32)),
+            "n_seqs": pa.array(bin_sizes.astype(np.int32)),
+            "doc_ids": doc_ids,
+            "boundaries": boundaries,
         }
     )
 
@@ -160,7 +187,10 @@ def _histogram_partial(vocab_size: int, tokens_col: str):
         # return a longer array that breaks the driver merge — drop them
         flat = flat[(flat >= 0) & (flat < vocab_size)]
         counts = np.bincount(flat, minlength=vocab_size).astype(np.int64)
-        return pa.table({"hist": pa.array([counts.tolist()], pa.list_(pa.int64()))})
+        hist = pa.ListArray.from_arrays(
+            pa.array([0, vocab_size], pa.int32()), pa.array(counts, pa.int64())
+        )
+        return pa.table({"hist": hist})
 
     return fn
 
@@ -176,6 +206,7 @@ def token_histogram(ds, vocab_size: int = VOCAB_SIZE, tokens_col: str = "tokens"
     )
     total = np.zeros(vocab_size, dtype=np.int64)
     for b in partials.iter_batches(batch_format="pyarrow"):
-        for row in b["hist"].to_pylist():
-            total += np.asarray(row, dtype=np.int64)
+        hl = b["hist"].combine_chunks()
+        flat = np.asarray(hl.flatten())
+        total += flat.reshape(-1, vocab_size).sum(axis=0)
     return total

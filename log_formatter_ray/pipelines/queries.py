@@ -61,7 +61,7 @@ def q_flagship_documents(sf_dir: str):
         target_field="source",
         casts={"src_num": pa.int64()},
     )
-    ds = ds.map_batches(parser, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(parser, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     lookup = pa.table(
         {
             "source": pa.array([f"src{i}" for i in range(1000)]),
@@ -69,7 +69,7 @@ def q_flagship_documents(sf_dir: str):
         }
     )
     ds = ds.map_batches(
-        LookupEnricher(ray.put(lookup), key="source"), batch_format="pyarrow"
+        LookupEnricher(ray.put(lookup), key="source"), batch_format="pyarrow", batch_size=None
     )
     router = Router(
         rules=(
@@ -78,7 +78,7 @@ def q_flagship_documents(sf_dir: str):
         ),
         default_sink="sink_standard",
     )
-    ds = ds.map_batches(router, batch_format="pyarrow")
+    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None)
     return grouped_count(ds, ["sink", "source"], count_alias="n")
 
 
@@ -105,7 +105,7 @@ def q_parse_events_props(sf_dir: str):
         target_field="props",
         casts={"k": pa.int64()},
     )
-    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None)
     return grouped_count(ds, ["event_type"], count_alias="n", sum_cols={"k": "sum_k"})
 
 
@@ -123,7 +123,7 @@ def q_parse_documents_source(sf_dir: str):
         target_field="source",
         casts={"src_num": pa.int64()},
     )
-    ds = ds.map_batches(parser, batch_format="pyarrow")
+    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None)
     return grouped_count(ds, ["lang"], count_alias="n", sum_cols={"src_num": "sum_src"})
 
 
@@ -143,7 +143,7 @@ def q_filter_project_lineitem(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
     )
     ds = ds.map_batches(
-        lambda t: t.filter(pc.less(t["l_quantity"], 25.0)), batch_format="pyarrow"
+        lambda t: t.filter(pc.less(t["l_quantity"], 25.0)), batch_format="pyarrow", batch_size=None
     )
     f = FieldFilter(include_fields=(r"^l_(orderkey|partkey|quantity)$",))
     return f.apply(ds)
@@ -175,7 +175,7 @@ def q_enrich_customer_nation(sf_dir: str):
     )
     ds = _tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     ds = ds.map_batches(
-        LookupEnricher(ray.put(lookup), key="c_nationkey"), batch_format="pyarrow"
+        LookupEnricher(ray.put(lookup), key="c_nationkey"), batch_format="pyarrow", batch_size=None
     )
     return grouped_count(ds, ["r_name", "n_name"], count_alias="n_customers")
 
@@ -306,7 +306,7 @@ def q_route_events(sf_dir: str):
         ),
         default_sink="sink_standard",
     )
-    ds = ds.map_batches(router, batch_format="pyarrow")
+    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None)
     return grouped_count(ds, ["sink", "event_type"], count_alias="n")
 
 
@@ -351,7 +351,7 @@ def q_tpch_q1_style(sf_dir: str):
         t = t.append_column("sum_qty", qty)
         return t.drop_columns(["sum_qty_f"])
 
-    return agg.map_batches(cast_qty, batch_format="pyarrow")
+    return agg.map_batches(cast_qty, batch_format="pyarrow", batch_size=None)
 
 
 _SQL_TPCH_Q1_STYLE = """
@@ -375,10 +375,10 @@ SELECT DISTINCT lang FROM documents
 def q_union_counts(sf_dir: str):
     """ds.union: id streams from two tables concatenated then counted."""
     a = _tbl(sf_dir, "documents", columns=["doc_id"]).map_batches(
-        lambda t: pa.table({"id": t["doc_id"].combine_chunks()}), batch_format="pyarrow"
+        lambda t: pa.table({"id": t["doc_id"].combine_chunks()}), batch_format="pyarrow", batch_size=None
     )
     b = _tbl(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
-        lambda t: pa.table({"id": t["vec_id"].combine_chunks()}), batch_format="pyarrow"
+        lambda t: pa.table({"id": t["vec_id"].combine_chunks()}), batch_format="pyarrow", batch_size=None
     )
     n = a.union(b).count()
     return pa.table({"n": pa.array([n], pa.int64())})
@@ -433,7 +433,7 @@ def q_minhash_clusters_documents(sf_dir: str):
 
 def q_simhash_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_simhash, batch_format="pyarrow").select_columns(
+    return ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "simhash"]
     )
 
@@ -449,8 +449,8 @@ def q_embedding_dups(sf_dir: str):
 
 def q_token_count_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
-    ds = ds.map_batches(add_bpe_ish_count, batch_format="pyarrow")
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(add_bpe_ish_count, batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["doc_id", "n_words", "n_bpe"])
 
 
@@ -463,7 +463,7 @@ FROM documents
 
 def q_quality_stopwords(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow")
+    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["doc_id", "n_words", "n_stop"])
 
 
@@ -477,7 +477,7 @@ FROM documents
 
 def q_fingerprint_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_fingerprint_md5, batch_format="pyarrow").select_columns(
+    return ds.map_batches(add_fingerprint_md5, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "fp"]
     )
 
@@ -491,7 +491,7 @@ def q_clean_text_documents(sf_dir: str):
     from log_formatter_ray.ops.textstats import add_clean_text
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_clean_text, batch_format="pyarrow").select_columns(
+    return ds.map_batches(add_clean_text, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "clean_text"]
     )
 
@@ -508,20 +508,20 @@ def q_quantize_embeddings(sf_dir: str):
     from log_formatter_ray.ops.ann import quantize_embeddings
 
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ds.map_batches(quantize_embeddings, batch_format="pyarrow")
+    out = ds.map_batches(quantize_embeddings, batch_format="pyarrow", batch_size=None)
     return out.select_columns(["vec_id", "embedding_q8", "q_scale"])
 
 
 def q_langid_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(
-        LangIdScorer, batch_format="pyarrow", concurrency=2
+        LangIdScorer, batch_format="pyarrow", batch_size=None, concurrency=2
     ).select_columns(["doc_id", "pred_lang"])
 
 
 def q_rolling_fingerprint_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow").select_columns(
+    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "fp_roll"]
     )
 
@@ -619,9 +619,24 @@ FROM s GROUP BY user_id, sid
 # Similarity search
 # ---------------------------------------------------------------------------
 
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    """The query row selected EXPLICITLY by vec_id (parquet row-group
+    filter) — scan order is not contractually id order, so ``take(1)``
+    could silently pick a different query than the oracle's
+    ``WHERE vec_id = 0``."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
 def q_ann_top10(sf_dir: str):
     ds = _tbl(sf_dir, "embeddings")
-    q0 = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    q0 = _query_vector(sf_dir, 0)
     out = brute_force_topk(ds, q0, k=10, exclude_ids={0}, concurrency=2)
     return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
 
@@ -638,7 +653,7 @@ SELECT vec_id FROM (
 
 def q_ivf_ann_top10(sf_dir: str):
     ds = _tbl(sf_dir, "embeddings")
-    q0 = np.asarray(ds.take(1)[0]["embedding"], dtype=np.float64)
+    q0 = _query_vector(sf_dir, 0)
     idx = IVFIndex(n_clusters=16, iters=5).fit(ds)
     assigned = idx.assign(ds)
     out = idx.search(assigned, q0, k=10, nprobe=8)
@@ -745,24 +760,31 @@ def q_token_histogram_top(sf_dir: str):
 
 
 def q_distinct_embeddings(sf_dir: str):
-    """Distinct-on-list via content hash (no list shuffle).  Uses the
-    process-stable 64-bit hash — builtin ``hash()`` is salted per process,
-    which would over-count across Ray workers."""
-    from log_formatter_ray.ops.dedup import _stable_hash64
-
+    """Distinct-on-list via content hash (no list shuffle): a vectorized
+    64-bit FNV fold over each vector's raw float32 bit pattern (stable
+    across processes — builtin ``hash()`` is salted per process), partial
+    per-block distinct, then a distributed groupby-count over the deduped
+    hashes.  The driver sees only the final scalar."""
     ds = _tbl(sf_dir, "embeddings", columns=["embedding"])
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         emb = batch["embedding"].combine_chunks()
         flat = np.asarray(emb.flatten(), dtype=np.float32)
         n = len(batch)
-        dim = flat.size // n if n else 0
-        byte_rows = [flat[i * dim : (i + 1) * dim].tobytes() for i in range(n)]
-        h = _stable_hash64(byte_rows).astype(np.int64)
-        return pa.table({"h": pa.array(h)})
+        if not n:
+            return pa.table({"h": pa.array([], pa.int64())})
+        bits = flat.reshape(n, flat.size // n).view(np.uint32)
+        h = np.full(n, 0xCBF29CE484222325, np.uint64)
+        for j in range(bits.shape[1]):  # loop over DIM, vectorized over rows
+            h = h * np.uint64(1099511628211) + bits[:, j]
+        # per-block partial distinct — only deduped hashes shuffle
+        return pa.table({"h": pa.array(np.unique(h).astype(np.int64))})
 
-    hashes = ds.map_batches(hash_batch, batch_format="pyarrow").to_pandas()
-    return pa.table({"n": pa.array([int(hashes["h"].nunique())], pa.int64())})
+    deduped = ds.map_batches(
+        hash_batch, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    n = deduped.groupby("h").count().count()
+    return pa.table({"n": pa.array([int(n)], pa.int64())})
 
 
 _SQL_DISTINCT_EMBEDDINGS = """

@@ -48,7 +48,8 @@ def grouped_count(
     """
     sum_cols = sum_cols or {}
     partials = ds.map_batches(
-        _partial_agg_fn(list(keys), count_alias, sum_cols), batch_format="pyarrow"
+        _partial_agg_fn(list(keys), count_alias, sum_cols),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     aggs = [Sum(count_alias, alias_name=count_alias)]
     aggs += [Sum(alias, alias_name=alias) for alias in sum_cols.values()]

@@ -59,7 +59,7 @@ def test_exact_dedup_matches_pandas_oracle(dup_table):
 
 def test_minhash_lsh_finds_near_dups(dup_table):
     ds = rd.from_arrow(dup_table).repartition(3)
-    clusters = minhash_lsh_clusters(ds, threshold=0.5, concurrency=2)
+    clusters = minhash_lsh_clusters(ds, threshold=0.5, concurrency=2).to_pandas()
     # exact copies of BASE + near-dups must share a cluster with rep 0
     members = set(clusters.loc[clusters["rep"] == 0, "id"])
     assert {0, 10, 20, 30}.issubset(members | {0})
@@ -72,7 +72,7 @@ def test_minhash_lsh_finds_near_dups(dup_table):
 
 def test_simhash_and_jaccard_pipeline(dup_table):
     ds = rd.from_arrow(dup_table).map_batches(add_simhash, batch_format="pyarrow")
-    cands = simhash_candidates(ds)
+    cands = simhash_candidates(ds).to_pandas()
     pairs = set(map(tuple, cands[["a", "b"]].to_numpy()))
     assert (0, 10) in pairs  # identical docs always candidates
     verified = verify_pairs_jaccard(ds, cands, threshold=0.9)
@@ -102,7 +102,7 @@ def test_embedding_dup_pairs():
         }
     )
     ds = rd.from_arrow(t).repartition(3)
-    pairs = embedding_dup_pairs(ds, threshold=0.99, nbits=4)
+    pairs = embedding_dup_pairs(ds, threshold=0.99, nbits=4).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     # identical-direction vectors always land in the same hyperplane bucket
     assert (3, 7) in got
@@ -132,3 +132,69 @@ def test_dedup_by_clusters_empty_is_noop():
     ds = rd.from_arrow(t)
     empty = pd.DataFrame({"id": [], "rep": []})
     assert dedup_by_clusters(ds, empty).count() == 2
+
+
+def test_minhash_distributed_cc_matches_local(dup_table):
+    """The iterative min-label-propagation CC plan must produce the exact
+    same clusters as the single-worker contraction plan."""
+    ds = rd.from_arrow(dup_table).repartition(3)
+    local = (
+        minhash_lsh_clusters(ds, threshold=0.5, cc_mode="local")
+        .to_pandas().reset_index(drop=True)
+    )
+    dist = (
+        minhash_lsh_clusters(ds, threshold=0.5, cc_mode="distributed")
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        local.astype({"id": "int64", "rep": "int64"}),
+        dist.astype({"id": "int64", "rep": "int64"}),
+    )
+
+
+def test_connected_components_chain_and_modes():
+    """A path graph exercises multi-round label propagation (diameter > 1)."""
+    from log_formatter_ray.ops.graph import connected_components
+
+    edges = pd.DataFrame(
+        {"a": [1, 2, 3, 10, 20], "b": [2, 3, 4, 11, 21]}
+    )
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    for mode in ("local", "distributed"):
+        got = connected_components(rd.from_pandas(edges), mode=mode).to_pandas()
+        assert dict(zip(got["id"], got["rep"])) == exp, mode
+
+
+def test_simhash_bucket_cap_truncates(caplog):
+    """A degenerate all-identical corpus must stay under the bucket cap
+    (bounded O(max_bucket^2) pairing) and log the truncation."""
+    import logging
+
+    n = 30
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["identical content here"] * n),
+        }
+    )
+    ds = rd.from_arrow(t).map_batches(add_simhash, batch_format="pyarrow")
+    with caplog.at_level(logging.WARNING, logger="log_formatter_ray"):
+        pairs = simhash_candidates(ds, max_bucket=10).to_pandas()
+    # pairs bounded by the cap: C(10,2) per band, deduped across bands
+    assert 0 < len(pairs) <= 45
+
+
+def test_embedding_dup_bucket_cap():
+    rng = np.random.default_rng(1)
+    V = np.tile(rng.standard_normal(8).astype(np.float32), (25, 1))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(25), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float32()), 8
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs = embedding_dup_pairs(ds, threshold=0.99, nbits=4, max_bucket=5).to_pandas()
+    assert 0 < len(pairs) <= 10  # C(5,2) per band, 2 bands

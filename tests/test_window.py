@@ -151,6 +151,34 @@ def test_asof_join_matches_pandas(events_ds):
     assert got["event_id"].dtype == "int64"  # no float degradation
 
 
+def test_asof_join_all_null_ts_group():
+    """A key whose left rows ALL have null `on` must emit each row ONCE with
+    the full output schema (null match columns) — not twice with a narrower
+    frame (ADVICE r01)."""
+    from log_formatter_ray.ops.asof import asof_join
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array(["u1", "u1", "u2"]),
+        "ts": pa.array([None, None, 500], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array(["u2"]),
+        "ts": pa.array([100], pa.timestamp("us")),
+        "value": pa.array([7.0]),
+    }))
+    got = (
+        asof_join(left, right, by="user_id", on="ts", right_value_cols=["value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == 3  # null-ts rows exactly once
+    assert sorted(got.columns) == ["event_id", "ts", "ts_right", "user_id", "value"]
+    assert got.loc[got.event_id.isin([1, 2]), ["ts_right", "value"]].isna().all().all()
+    assert got.loc[got.event_id == 3, "value"].iloc[0] == 7.0
+
+
 def test_running_sequence_numbers(events_ds):
     from log_formatter_ray.ops.window import running_sequence_numbers
 
