@@ -106,19 +106,23 @@ def quantize_embeddings(
     batch: pa.Table, emb_col: str = "embedding",
     out_col: str = "embedding_q8", scale_col: str = "q_scale",
 ) -> pa.Table:
-    """Symmetric per-vector int8 quantization: q = round(v * 127 / max|v|),
-    scale = max|v| / 127 — 4× smaller embeddings for ANN at rest; dequant
-    error bounded by scale/2 per component."""
+    """Symmetric per-vector int8 quantization: q = ⌊v/scale + 0.5⌋ clipped
+    to ±127, scale = max|v| / 127 — 4× smaller embeddings for ANN at rest;
+    dequant error bounded by scale/2 per component.
+
+    All arithmetic is float64 with explicit round-half-up (⌊x+0.5⌋) so the
+    DuckDB oracle (double math, FLOOR) reproduces it bit-for-bit — numpy's
+    default banker's rounding would diverge on exact halves."""
     n = len(batch)
-    V = _as_matrix(batch[emb_col], n)
+    V = _as_matrix(batch[emb_col], n).astype(np.float64)
     amax = np.abs(V).max(axis=1, keepdims=True)
     amax[amax == 0] = 1.0
-    scale = (amax / 127.0).astype(np.float32)
-    Q = np.clip(np.round(V / scale), -127, 127).astype(np.int8)
+    scale = amax / 127.0
+    Q = np.clip(np.floor(V / scale + 0.5), -127, 127).astype(np.int8)
     dim = V.shape[1]
     q_arr = pa.FixedSizeListArray.from_arrays(pa.array(Q.reshape(-1)), dim)
     batch = batch.append_column(out_col, q_arr)
-    return batch.append_column(scale_col, pa.array(scale.reshape(-1)))
+    return batch.append_column(scale_col, pa.array(scale.reshape(-1), pa.float64()))
 
 
 def dequantize(q: np.ndarray, scale: np.ndarray) -> np.ndarray:

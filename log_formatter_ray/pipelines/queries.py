@@ -503,13 +503,43 @@ FROM documents
 
 
 def q_quantize_embeddings(sf_dir: str):
-    """Rows-only: int8-quantized embeddings + max dequantization error
-    (invariant: error ≤ scale/2 per component, tested in test_ann)."""
+    """Int8 quantization, oracle-checked: per-vector sum of quantized
+    components (an order-insensitive content check of every q value) plus
+    the float64 scale — both reproducible bit-for-bit in DuckDB double
+    math (the op uses explicit round-half-up for exactly this reason)."""
     from log_formatter_ray.ops.ann import quantize_embeddings
 
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = ds.map_batches(quantize_embeddings, batch_format="pyarrow", batch_size=None)
-    return out.select_columns(["vec_id", "embedding_q8", "q_scale"])
+
+    def summarize(t: pa.Table) -> pa.Table:
+        n = len(t)
+        q = np.asarray(t["embedding_q8"].combine_chunks().flatten()).reshape(n, -1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].combine_chunks(),
+                "q8_sum": pa.array(q.astype(np.int64).sum(axis=1)),
+                "q_scale": t["q_scale"].combine_chunks(),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+
+
+_SQL_QUANTIZE_EMBEDDINGS = """
+SELECT vec_id,
+       CAST(list_sum(list_transform(embedding, x ->
+         CAST(GREATEST(LEAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5), 127), -127)
+              AS BIGINT))) AS BIGINT) AS q8_sum,
+       scale AS q_scale
+FROM (
+  SELECT vec_id, embedding,
+         (CASE WHEN amax = 0 THEN 1.0 ELSE amax END) / 127.0 AS scale
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS amax
+    FROM embeddings))
+"""
 
 
 def q_langid_documents(sf_dir: str):
@@ -517,6 +547,26 @@ def q_langid_documents(sf_dir: str):
     return ds.map_batches(
         LangIdScorer, batch_format="pyarrow", batch_size=None, concurrency=2
     ).select_columns(["doc_id", "pred_lang"])
+
+
+# The language-ID heuristic is a deterministic rule (marker-word argmax with
+# first-index tie-break, CJK override) — fully re-expressible in SQL.
+_SQL_LANGID_DOCUMENTS = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+            WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+            WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+            WHEN de >= fr AND de >= es THEN 'de'
+            WHEN fr >= es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM (
+  SELECT doc_id, text,
+         len(list_filter(w, x -> x IN ('the','and','of','is','with'))) AS en,
+         len(list_filter(w, x -> x IN ('der','und','die','ist','nicht'))) AS de,
+         len(list_filter(w, x -> x IN ('le','et','les','des','est'))) AS fr,
+         len(list_filter(w, x -> x IN ('el','los','las','es','una'))) AS es
+  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents))
+"""
 
 
 def q_rolling_fingerprint_documents(sf_dir: str):
@@ -759,6 +809,71 @@ def q_token_histogram_top(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Oracles over the synthetic sequences corpus: DuckDB reads the SAME parquet
+# shards the Ray pipelines read (the driver gate runs at sf0.01; queries()
+# pre-generates that corpus in __ray_entry__ so either side can run first).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SEQ_GLOB = os.path.join(sequences_dir_for("/root/testdata/sf0.01")[0], "*.parquet")
+
+_SQL_CHUNK_SEQUENCES = f"""
+SELECT CAST(SUM(GREATEST(CAST(CEIL(n_tok / 512.0) AS BIGINT), 1)) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM read_parquet('{_ORACLE_SEQ_GLOB}')
+"""
+
+_SQL_TOKEN_HISTOGRAM_TOP = f"""
+SELECT CAST(t AS BIGINT) AS token_id, CAST(COUNT(*) AS BIGINT) AS freq
+FROM (SELECT unnest(tokens) AS t FROM read_parquet('{_ORACLE_SEQ_GLOB}'))
+GROUP BY t ORDER BY freq DESC, token_id LIMIT 10
+"""
+
+# The flagship's parse → enrich → route semantics as one SQL expression:
+# grok-miss ⇒ quarantine; tier lookup (make_source_lookup: every 3rd source
+# premium, "misc" absent ⇒ null tier); n_tok >= 1024 ⇒ long; else standard.
+_SQL_FLAGSHIP_SEQUENCES = f"""
+SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
+  SELECT source, COUNT(*) AS n,
+         CASE WHEN NOT regexp_matches(doc_id,
+                  '^[0-9A-Za-z_]+/\\d{{4}}-\\d{{2}}-\\d{{2}}/\\d{{4}}-\\d{{8}}$')
+                THEN 'sink_quarantine'
+              WHEN source IN ('web','wiki','forum','mail') THEN 'sink_premium'
+              WHEN n_tok >= 1024 THEN 'sink_long'
+              ELSE 'sink_standard' END AS sink
+  FROM read_parquet('{_ORACLE_SEQ_GLOB}')
+  GROUP BY source, sink)
+GROUP BY sink, source
+"""
+
+_SQL_PACK_SEQUENCES_STATS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(LEAST(n_tok, 2048)) AS BIGINT) AS total_tokens
+FROM read_parquet('{_ORACLE_SEQ_GLOB}')
+"""
+
+
+def q_pack_sequences_stats(sf_dir: str):
+    """The oracle-checkable half of packing: every input sequence is packed
+    exactly once and every token (truncated at context_len) survives —
+    mass-conservation invariants independent of the per-batch FFD layout
+    (``pack_sequences`` itself stays rows-only because n_packs depends on
+    the block structure)."""
+    from log_formatter_ray.ops.tokens import pack_sequences
+
+    ds = _sequences_ds(sf_dir)
+    out = ds.map_batches(
+        lambda b: pack_sequences(b, context_len=2048),
+        batch_format="pyarrow", batch_size=None,
+    ).select_columns(["n_tok", "n_seqs"]).materialize()
+    return pa.table(
+        {
+            "n_seqs": pa.array([int(out.sum("n_seqs"))], pa.int64()),
+            "total_tokens": pa.array([int(out.sum("n_tok"))], pa.int64()),
+        }
+    )
+
+
 def q_distinct_embeddings(sf_dir: str):
     """Distinct-on-list via content hash (no list shuffle): a vectorized
     64-bit FNV fold over each vector's raw float32 bit pattern (stable
@@ -836,6 +951,7 @@ QUERIES = {
     "media_decode": q_media_decode,
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
+    "pack_sequences_stats": q_pack_sequences_stats,
     "token_histogram_top": q_token_histogram_top,
     "distinct_embeddings": q_distinct_embeddings,
 }
@@ -869,4 +985,10 @@ ORACLE_SQL = {
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
     "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,
+    "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
+    "langid_documents": _SQL_LANGID_DOCUMENTS,
+    "chunk_sequences": _SQL_CHUNK_SEQUENCES,
+    "token_histogram_top": _SQL_TOKEN_HISTOGRAM_TOP,
+    "flagship_sequences": _SQL_FLAGSHIP_SEQUENCES,
+    "pack_sequences_stats": _SQL_PACK_SEQUENCES_STATS,
 }

@@ -71,6 +71,74 @@ def test_rolling_fingerprint_properties():
     assert add_rolling_fingerprint(t2)["fp_roll"].to_pylist()[0] == out[0] or True
 
 
+def _naive_rolling(s: str, window: int = 16) -> int:
+    """Straightforward per-byte reference of the Karp–Rabin fingerprint —
+    the exact cross-check for the vectorized implementation."""
+    import numpy as np
+
+    base, mod = 257, (1 << 31) - 1
+    if not s:
+        return 0
+    b = list(s.encode())
+    if len(b) <= window:
+        h = 0
+        for c in b:
+            h = (h * base + c) % mod
+        return h
+    hs = []
+    for start in range(len(b) - window + 1):
+        h = 0
+        for c in b[start : start + window]:
+            h = (h * base + c) % mod
+        hs.append(h)
+    return min(hs)
+
+
+def test_rolling_fingerprint_matches_naive_reference():
+    import random
+
+    import numpy as np
+
+    random.seed(7)
+    texts = ["", " ", "a", "x" * 15, "y" * 16, "z" * 17, "héllo wörld 中文 " * 3]
+    for _ in range(40):
+        texts.append(
+            "".join(random.choice("ab cde\tfg\nhé中") for _ in range(random.randint(0, 120)))
+        )
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = add_rolling_fingerprint(t)["fp_roll"].to_pylist()
+    exp = [np.int64(np.uint64(_naive_rolling(s))).item() for s in texts]
+    assert got == exp
+
+
+def test_simhash_matches_naive_reference():
+    import numpy as np
+
+    from log_formatter_ray.ops.dedup import _stable_hash64, add_simhash
+
+    def naive(t):
+        words = (t or "").split()
+        if not words:
+            return 0
+        h = _stable_hash64(words)
+        bits = np.arange(64, dtype=np.uint64)
+        votes = (
+            ((h[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+        ).sum(axis=0)
+        return int(
+            np.int64(np.uint64(((votes > 0).astype(np.uint64) << bits).sum(dtype=np.uint64)))
+        )
+
+    texts = [
+        "", None, "one", "  spaced   out  words  ", "tab\tand\nnewline",
+        "the quick brown fox " * 5, "unicode éè 中文 mix",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = add_simhash(t)["simhash"].to_pylist()
+    exp = [naive(s) for s in texts]
+    assert got == exp
+
+
 def test_langid_markers():
     t = pa.table(
         {
