@@ -193,3 +193,49 @@ class IVFIndex:
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
         return brute_force_topk(filtered, queries, k=k, emb_col=emb_col, id_col=id_col)
+
+    # ----- at-rest partitioned layout: probe by DIRECTORY, not by scan ----
+
+    def write_partitioned(self, ds, path: str, emb_col: str = "embedding") -> str:
+        """Persist the corpus hive-partitioned by cluster id
+        (``path/cluster=<c>/``) so searches read ONLY the probed
+        partitions from storage — at 100 TB the difference between a
+        full-corpus scan per query batch and nprobe/n_clusters of it."""
+        self.assign(ds, emb_col).write_parquet(path, partition_cols=["cluster"])
+        return path
+
+    def probed_dirs(self, path: str, queries: np.ndarray, nprobe: int = 4) -> list[str]:
+        """The partition directories a search for ``queries`` would read."""
+        import os
+
+        queries = np.atleast_2d(queries)
+        Q = _normalize(np.asarray(queries, dtype=np.float64))
+        probe = np.argsort(-(Q @ self.centroids.T), axis=1)[:, :nprobe]
+        dirs = [os.path.join(path, f"cluster={int(c)}") for c in np.unique(probe)]
+        return [d for d in dirs if os.path.isdir(d)]
+
+    def search_partitioned(
+        self,
+        path: str,
+        queries: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> pd.DataFrame:
+        """Search a ``write_partitioned`` layout: list the nprobe nearest
+        clusters' directories, ``read_parquet`` ONLY those, brute-force
+        within.  Unprobed partitions are never opened."""
+        import glob
+        import os
+
+        import ray.data as rd
+
+        dirs = self.probed_dirs(path, queries, nprobe)
+        files = sorted(
+            f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+        ds = rd.read_parquet(files)
+        return brute_force_topk(
+            ds, np.atleast_2d(queries), k=k, emb_col=emb_col, id_col=id_col
+        )

@@ -295,6 +295,7 @@ def _process_wave(
     enrich_concurrency,
     override_num_blocks,
     write_outputs: bool,
+    rules: tuple | None = None,
 ) -> tuple[dict[str, PartitionManifest], str]:
     """Run one wave of pending partitions end-to-end and manifest them."""
     wave_files = sorted(f for fs in wave.values() for f in fs)
@@ -306,7 +307,8 @@ def _process_wave(
         enrich_concurrency=enrich_concurrency,
         override_num_blocks=override_num_blocks,
     )
-    rules = FLAGSHIP_RULES if error_tolerant else FLAGSHIP_RULES[1:]
+    if rules is None:
+        rules = FLAGSHIP_RULES if error_tolerant else FLAGSHIP_RULES[1:]
     router = Router(rules=rules, default_sink="sink_standard", sink_field="sink")
     writer = RouteAndWrite(
         router, data_dir, drop_cols=("_ok",) if error_tolerant else (),
@@ -368,6 +370,7 @@ def run_flagship(
     override_num_blocks: int | None = None,
     write_outputs: bool = True,
     wave_size: int | None = None,
+    reload_config=None,
 ) -> FlagshipResult:
     """Run (or resume) the flagship job.  Ray must already be initialised.
 
@@ -377,6 +380,16 @@ def run_flagship(
     Default (None) = one wave.  Each wave is a full streaming Ray Data job,
     so size waves in the hundreds-of-partitions range to amortize the ~1 s
     job startup (e.g. 256 partitions/wave at 10^6 partitions total).
+
+    ``reload_config``: optional zero-arg callable invoked at every WAVE
+    BOUNDARY (before each wave) — the batch analog of the reference's hot
+    config reload (/root/reference/agent/manager.go:122-164, SIGHUP →
+    rebuild pipeline between messages).  It may return a dict with keys
+    ``rules`` (tuple of RouteRule, replaces the routing cascade for
+    subsequent waves) and/or ``lookup`` (pa.Table, replaces the enrich
+    dictionary); return None/{} to keep the current config.  Because it
+    runs between waves, every individual partition is processed under
+    exactly ONE config version, recorded in its manifest counts.
     """
     if isinstance(input_path, str):
         files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
@@ -407,10 +420,19 @@ def run_flagship(
 
     stats = ""
     if pending:
+        from log_formatter_ray.state.metrics import write_metrics
+
         lookup_ref = ray.put(lookup if lookup is not None else make_source_lookup())
+        rules: tuple | None = None  # None = the built-in FLAGSHIP_RULES
         pids = sorted(pending)
         step = wave_size or len(pids)
         for i in range(0, len(pids), step):
+            if reload_config is not None:
+                cfg = reload_config() or {}
+                if "rules" in cfg:
+                    rules = tuple(cfg["rules"])
+                if "lookup" in cfg:
+                    lookup_ref = ray.put(cfg["lookup"])
             wave = {pid: pending[pid] for pid in pids[i : i + step]}
             wave_done, stats = _process_wave(
                 wave, out_dir, data_dir, lookup_ref,
@@ -419,12 +441,14 @@ def run_flagship(
                 enrich_concurrency=enrich_concurrency,
                 override_num_blocks=override_num_blocks,
                 write_outputs=write_outputs,
+                rules=rules,
             )
             done.update(wave_done)
-        if write_outputs:
-            from log_formatter_ray.state.metrics import write_metrics
-
-            write_metrics(out_dir)
+            if write_outputs:
+                # heartbeat analog (manager.go:166-225): a fresh
+                # _metrics.json after EVERY completed wave, not only at
+                # job end — a mid-run kill leaves wave-accurate progress.
+                write_metrics(out_dir)
 
     # Corpus-level result assembled from ALL manifests (incl. prior runs).
     agg_counts: dict[tuple[str, str], int] = {}
@@ -454,3 +478,23 @@ def run_flagship(
         token_bytes=4 * token_sum,
         stats=stats,
     )
+
+
+def ingest(input_path: str | list[str], out_dir: str, **kwargs) -> FlagshipResult:
+    """Incremental-arrival ingestion — the bounded analog of the reference's
+    continuous Kafka consumption.
+
+    Call it again whenever new files have landed under ``input_path``: only
+    files with no lineage manifest are processed; everything already
+    manifested is skipped untouched.  The manifest plays the role of the
+    committed consumer-group offset (at-least-once per file — the manifest
+    is written only AFTER the partition's outputs are durable, exactly like
+    kafka.go:182-186 commits offsets only after enqueue), and because a
+    reprocessed partition first deletes its own output directory the
+    end-to-end effect is effectively-once.
+
+    Equivalent to ``run_flagship(..., resume=True)``; named separately so
+    the ingestion mode is an explicit, documented capability.
+    """
+    kwargs.setdefault("resume", True)
+    return run_flagship(input_path, out_dir, **kwargs)

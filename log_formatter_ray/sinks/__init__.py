@@ -35,9 +35,25 @@ def _console_sink(ds, cfg: dict):
     return None
 
 
+def _csv_sink(ds, cfg: dict):
+    """Plain-file output — the reference ships a file output plugin
+    (config.modules/output-file-test.yml, Makefile file-file test); the
+    Ray-native form is a sharded CSV write (one file per block, same
+    streaming/backpressure path as parquet).  Not for token payloads —
+    list columns don't fit CSV; project them away first."""
+    ds.write_csv(
+        cfg["path"],
+        min_rows_per_file=cfg.get("min_rows_per_file"),
+        concurrency=cfg.get("concurrency"),
+    )
+    return cfg["path"]
+
+
 SINKS: dict[str, Callable] = {
     "parquet": _parquet_sink,
     "console": _console_sink,
+    "csv": _csv_sink,
+    "file": _csv_sink,  # reference naming alias (output-file-test.yml)
 }
 
 

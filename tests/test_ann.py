@@ -70,3 +70,30 @@ def test_quantize_embeddings_roundtrip(emb_table):
     assert (err <= scale.reshape(-1, 1) / 2 + 1e-6).all()
     # quantized top-1 neighbor of a vector is usually itself after roundtrip
     assert np.abs(Q).max() <= 127
+
+
+def test_ivf_partitioned_search_reads_only_probed_dirs(emb_table, tmp_path):
+    """write_partitioned lays the corpus out hive-partitioned by cluster;
+    search_partitioned must open ONLY the nprobe probed directories and,
+    with nprobe = n_clusters, must equal the exact brute force."""
+    import os
+
+    ds = rd.from_arrow(emb_table).repartition(3)
+    idx = IVFIndex(n_clusters=8, iters=4).fit(ds)
+    root = str(tmp_path / "ivf")
+    idx.write_partitioned(ds, root)
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("cluster="))
+    assert 1 < len(dirs) <= 8
+
+    q = np.asarray(emb_table["embedding"][3].as_py(), dtype=np.float64)
+    probed = idx.probed_dirs(root, q, nprobe=2)
+    assert len(probed) <= 2 and set(probed) < {os.path.join(root, d) for d in dirs}
+
+    # full-probe search over the partitioned layout == exact brute force
+    got = idx.search_partitioned(root, q, k=5, nprobe=8)
+    exp = brute_force_topk(rd.from_arrow(emb_table), q, k=5)
+    assert got["vec_id"].tolist() == exp["vec_id"].tolist()
+
+    # narrow probe returns k hits from probed partitions only
+    narrow = idx.search_partitioned(root, q, k=5, nprobe=2)
+    assert len(narrow) == 5

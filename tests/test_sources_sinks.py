@@ -76,3 +76,21 @@ def test_register_sink_plugin():
     write_sink(rd.from_items([{"x": 1}]), {"capture": {}})
     assert captured == [1]
     del SINKS["capture"]
+
+
+def test_csv_sink_roundtrip(tmp_path):
+    import ray.data as rd
+
+    ds = rd.range(10).map_batches(
+        lambda b: {"id": b["id"], "name": [f"n{int(i)}" for i in b["id"]]},
+        batch_format="numpy",
+    )
+    out = str(tmp_path / "csv_out")
+    write_sink(ds, {"csv": {"path": out}})
+    back = rd.read_csv(out).to_pandas().sort_values("id").reset_index(drop=True)
+    assert back["id"].tolist() == list(range(10))
+    assert back["name"].tolist() == [f"n{i}" for i in range(10)]
+
+
+def test_file_sink_alias_registered():
+    assert "file" in SINKS and SINKS["file"] is SINKS["csv"]
