@@ -279,7 +279,7 @@ def minhash_lsh_clusters(
     shingle_k: int = 3,
     threshold: float = 0.6,
     seed: int = 42,
-    concurrency=(1, 8),
+    concurrency=None,
     max_bucket: int = 200,
     coarse: int = 4096,
     cc_mode: str = "auto",
@@ -295,17 +295,31 @@ def minhash_lsh_clusters(
     width (rows/partition ≈ corpus×bands/coarse — raise it with corpus
     size); ``cc_mode`` picks the components plan (see
     ``connected_components``).
+
+    ``concurrency=None`` (default) runs the signature stage as elastic
+    stateless tasks with a pre-constructed MinHasher — its per-worker state
+    (two small permutation arrays) is microseconds to build, so an actor
+    pool would only pay startup latency and cap the fused read→sig→explode
+    chain; pass an int/tuple to force a pool when composing with genuinely
+    expensive per-actor state.
     """
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm,
-            shingle_k=shingle_k, seed=seed,
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
+    hasher_kwargs = dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm,
+        shingle_k=shingle_k, seed=seed,
     )
+    if concurrency is None:
+        sigs = ds.map_batches(
+            MinHasher(**hasher_kwargs),
+            batch_format="pyarrow", batch_size=None,
+        )
+    else:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=hasher_kwargs,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
     exploded = sigs.map_batches(
         _band_explode(num_perm, bands, id_col, coarse),
         batch_format="pyarrow", batch_size=None,

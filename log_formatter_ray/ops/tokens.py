@@ -33,9 +33,10 @@ def chunk_sequences(
     """1 row → ⌈n_tok/max_len⌉ rows of ≤ max_len tokens.
 
     Output: (id_col, chunk_idx:int32, tokens, n_tok:int32).  Token values
-    are copied ONCE via a single vectorized gather on the flat int32
-    buffer (chunks are contiguous, so this is one ``take``-shaped pass —
-    no per-chunk Python, no per-token boxing).
+    are GENUINELY zero-copy: chunk boundaries tile the flat value buffer
+    in order (every token of every row lands in exactly one chunk), so the
+    output list column is the SAME Arrow buffer under a new offsets array
+    — no gather, no copy, no per-token work at all.
     """
     tokens = batch[tokens_col]
     if isinstance(tokens, pa.ChunkedArray):
@@ -56,21 +57,18 @@ def chunk_sequences(
     # empty rows produce one empty chunk
     ends = np.maximum(ends, starts)
 
-    new_offsets = np.empty(total + 1, dtype=np.int64)
-    new_offsets[0] = 0
-    np.cumsum(ends - starts, out=new_offsets[1:])
-
-    # one vectorized multi-range gather over the flat value buffer
-    flat = tokens.values.to_numpy(zero_copy_only=False)
-    sizes = ends - starts
-    total_out = int(new_offsets[-1])
-    chunk_of_out = np.repeat(np.arange(total, dtype=np.int64), sizes)
-    within = np.arange(total_out, dtype=np.int64) - np.repeat(
-        new_offsets[:-1], sizes
-    )
-    gathered = flat[starts[chunk_of_out] + within].astype(np.int32, copy=False)
+    # Chunk ranges tile the value buffer: ends[i] == starts[i+1] for every
+    # consecutive chunk (within a row by construction, across rows because
+    # the last chunk ends exactly at the next row's start).  The offsets
+    # vector is therefore just [starts..., last_end] over the ORIGINAL
+    # values buffer — a zero-copy re-slice.
+    boundaries = np.empty(total + 1, dtype=np.int64)
+    boundaries[:-1] = starts
+    boundaries[-1] = offsets[-1]
+    if boundaries[-1] >= 2**31:
+        raise ValueError("block exceeds 2^31 tokens; split into smaller blocks")
     new_tokens = pa.ListArray.from_arrays(
-        pa.array(new_offsets, pa.int32()), pa.array(gathered, pa.int32())
+        pa.array(boundaries.astype(np.int32), pa.int32()), tokens.values
     )
 
     ids = batch[id_col]
@@ -107,20 +105,32 @@ def pack_sequences(
     ).astype(np.int64)
     order = np.argsort(-lens, kind="stable")  # decreasing
 
+    # First-fit-decreasing via a max segment tree over bin free space:
+    # "lowest-numbered bin with space >= L" in O(log bins) instead of the
+    # naive O(bins) scan per sequence (identical placement, just fast).
+    n_rows_b = len(order)
+    size = 1
+    while size < max(n_rows_b, 1):
+        size *= 2
+    tree = [0] * (2 * size)  # tree[size + b] = free space of bin b
     bins: list[list[int]] = []
-    space: list[int] = []
-    for i in order:
-        L = int(lens[i])
-        placed = False
-        for b, s in enumerate(space):
-            if s >= L:
-                bins[b].append(int(i))
-                space[b] -= L
-                placed = True
-                break
-        if not placed:
-            bins.append([int(i)])
-            space.append(context_len - L)
+    for i, L in zip(order.tolist(), lens[order].tolist()):
+        if bins and tree[1] >= L:
+            node = 1
+            while node < size:
+                node = 2 * node if tree[2 * node] >= L else 2 * node + 1
+            b = node - size
+            bins[b].append(i)
+            tree[node] -= L
+        else:
+            b = len(bins)
+            bins.append([i])
+            node = size + b
+            tree[node] = context_len - L
+        node //= 2
+        while node:
+            tree[node] = max(tree[2 * node], tree[2 * node + 1])
+            node //= 2
 
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
@@ -128,10 +138,9 @@ def pack_sequences(
     flat = tokens.values.to_numpy(zero_copy_only=False)
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    # Token assembly is ONE vectorized multi-range gather over the flat
-    # int32 buffer (never per-token Python): flatten the bin membership,
-    # gather every member's value range, and rebuild the list column from
-    # offsets — the FFD loop above only touches per-SEQUENCE metadata.
+    # Token assembly: one memcpy per SEQUENCE segment into a single int32
+    # buffer (never per-token Python — building the list column from this
+    # buffer + offsets is what avoids the pa.array(tolist()) boxing trap).
     member_rows = (
         np.concatenate([np.asarray(m, dtype=np.int64) for m in bins])
         if bins else np.zeros(0, np.int64)
@@ -142,9 +151,10 @@ def pack_sequences(
     total_out = int(seg_lens.sum())
     seg_cum = np.zeros(len(member_rows) + 1, dtype=np.int64)
     np.cumsum(seg_lens, out=seg_cum[1:])
-    seg_of_out = np.repeat(np.arange(len(member_rows), dtype=np.int64), seg_lens)
-    within = np.arange(total_out, dtype=np.int64) - np.repeat(seg_cum[:-1], seg_lens)
-    values = flat[seg_starts[seg_of_out] + within].astype(np.int32, copy=False)
+    values = np.empty(total_out, dtype=np.int32)
+    for i in range(len(member_rows)):  # per-segment memcpy, not per-token
+        s = seg_starts[i]
+        values[seg_cum[i] : seg_cum[i + 1]] = flat[s : s + seg_lens[i]]
 
     member_off = np.zeros(len(bins) + 1, dtype=np.int64)
     np.cumsum(bin_sizes, out=member_off[1:])

@@ -428,7 +428,7 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 
 def q_minhash_clusters_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_clusters(ds, threshold=0.5, concurrency=2)
+    return minhash_lsh_clusters(ds, threshold=0.5)
 
 
 def q_simhash_documents(sf_dir: str):
