@@ -110,3 +110,86 @@ def bloom_semi_join(ds, key_col: str, bloom: BloomFilter):
     return ds.map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join — a custom operator Ray Data does not ship.
+# ---------------------------------------------------------------------------
+
+def range_count_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    lo_s: float,
+    hi_s: float,
+    count_alias: str = "n_in_range",
+):
+    """For every left row, COUNT right rows with the same ``by`` key and
+    ``on`` in the half-open window (left.on + lo_s, left.on + hi_s] —
+    e.g. "events by the same user within 5 minutes after each error".
+
+    Composition: pad both sides to a common schema, tag, union, shuffle
+    ONCE by the join key, then one ``np.searchsorted`` pair per group (the
+    right side is sorted once per key; every left bound lookup is
+    O(log n) — no pairwise expansion, so a hot key costs n log n, not n²).
+
+    Partitioning assumption (stated per the build contract): one group =
+    one key's rows from both sides, which must fit in a worker — true for
+    per-user/per-entity event streams; salt into (key, coarse-time-bucket)
+    with ±hi_s boundary overlap if a single key's history exceeds memory.
+    """
+    import pandas as pd
+
+    lschema = left_ds.schema()
+    left_cols = list(lschema.names)
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
+    rschema = right_ds.schema()
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+
+    def pad(side: str, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            out = {}
+            for c in left_cols:
+                if c in batch.column_names and c in keep:
+                    out[c] = batch[c].combine_chunks()
+                else:
+                    out[c] = pa.nulls(n, ltypes.get(c) or rtypes.get(c))
+            out["_side"] = pa.array([side] * n)
+            return pa.table(out)
+
+        return fn
+
+    unioned = left_ds.map_batches(
+        pad("L", left_cols), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).union(
+        right_ds.map_batches(
+            pad("R", [by, on]), batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+    )
+
+    lo_ns = np.int64(round(lo_s * 1e9))
+    hi_ns = np.int64(round(hi_s * 1e9))
+    left_int_cols = [c for c in left_cols if pa.types.is_integer(ltypes[c])]
+
+    def per_key(group: "pd.DataFrame") -> "pd.DataFrame":
+        left = group.loc[group["_side"] == "L", left_cols]
+        rts = group.loc[group["_side"] == "R", on].dropna().to_numpy()
+        rts = np.sort(rts.astype("datetime64[ns]").view(np.int64))
+        lts = left[on].to_numpy().astype("datetime64[ns]").view(np.int64)
+        valid = left[on].notna().to_numpy()
+        lo = np.searchsorted(rts, lts + lo_ns, side="right")
+        hi = np.searchsorted(rts, lts + hi_ns, side="right")
+        out = left.copy()
+        counts = (hi - lo).astype(np.int64)
+        counts[~valid] = 0  # null left timestamps match nothing
+        out[count_alias] = counts
+        for c in left_int_cols:
+            if not out[c].isna().any():
+                out[c] = out[c].astype("int64")
+        return out
+
+    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")

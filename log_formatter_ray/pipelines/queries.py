@@ -665,6 +665,113 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_range_join_events(sf_dir: str):
+    """Range (interval) join: for each error event, the number of events by
+    the same user in the following 5 minutes (custom operator: one shuffle
+    by key + searchsorted per group — no pairwise expansion)."""
+    from log_formatter_ray.ops.joins import range_count_join
+
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    everything = ev.map_batches(
+        lambda t: t.select(["user_id", "ts"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    out = range_count_join(
+        errors, everything, by="user_id", on="ts", lo_s=0, hi_s=300,
+        count_alias="n_follow",
+    )
+    return out.select_columns(["event_id", "n_follow"])
+
+
+_SQL_RANGE_JOIN_EVENTS = """
+SELECT a.event_id, CAST(COUNT(b.ts) AS BIGINT) AS n_follow
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+"""
+
+
+def q_median_chars_per_lang(sf_dir: str):
+    """Exact grouped median WITHOUT gathering a key's rows in one worker:
+    per-block (lang, n_chars) value-count partials collapse the corpus to a
+    tiny (key, value, count) table; the median is read off the cumulative
+    counts per key.  Skew-proof by construction (a hot lang still only
+    contributes |distinct n_chars| rows)."""
+    import pandas as pd
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+    counts = grouped_count(ds, ["lang", "n_chars"], count_alias="cnt")
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars")
+        c = g["cnt"].to_numpy(np.int64)
+        v = g["n_chars"].to_numpy(np.float64)
+        total = int(c.sum())
+        cum = np.cumsum(c)
+        if total % 2 == 1:
+            m = float(v[np.searchsorted(cum, total // 2 + 1)])
+        else:
+            m = (
+                float(v[np.searchsorted(cum, total // 2)])
+                + float(v[np.searchsorted(cum, total // 2 + 1)])
+            ) / 2.0
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "med_chars": [m]})
+
+    return counts.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+_SQL_MEDIAN_CHARS_PER_LANG = """
+SELECT lang, CAST(median(n_chars) AS DOUBLE) AS med_chars FROM documents GROUP BY lang
+"""
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Heavy text aggregation: corpus-wide word counts per language with
+    per-block partial aggregation (each block collapses to its distinct
+    (lang, word) pairs before the shuffle), then per-group top-3."""
+    from log_formatter_ray.ops.window import topk_per_group
+
+    ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        per_row = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        lang_rep = batch["lang"].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(batch)), per_row))
+        )
+        t = pa.table({"lang": lang_rep, "word": words.flatten()})
+        agg = t.group_by(["lang", "word"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["lang", "word", "n"])
+
+    partials = ds.map_batches(
+        word_counts, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    from ray.data.aggregate import Sum
+
+    counts = partials.groupby(["lang", "word"]).aggregate(Sum("n", alias_name="n"))
+    return topk_per_group(counts, ["lang"], "n", k=3, tiebreak_cols=["word"])
+
+
+_SQL_TOP_TERMS_PER_LANG = """
+SELECT lang, word, n FROM (
+  SELECT lang, word, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
+  FROM (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY lang, word))
+WHERE rn <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -698,6 +805,42 @@ SELECT vec_id FROM (
             (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
   FROM embeddings WHERE vec_id <> 0
   ORDER BY cos DESC, vec_id LIMIT 10)
+"""
+
+
+def q_ann_multi_top5(sf_dir: str):
+    """Batched ANN: ONE broadcast of a 3-query matrix, one streaming pass,
+    per-query top-5 (self excluded per query, like the SQL's e.vec_id <>
+    q.qid — a global exclude set would wrongly hide a query vector from
+    OTHER queries' results)."""
+    qids = [0, 1, 2]
+    ds = _tbl(sf_dir, "embeddings")
+    Q = np.stack([_query_vector(sf_dir, i) for i in qids])
+    out = brute_force_topk(ds, Q, k=6, concurrency=2)  # +1 overfetch for self
+    qid_of = np.array(qids, dtype=np.int64)[out["query_idx"].to_numpy()]
+    out = out.assign(qid=qid_of)
+    out = out[out["vec_id"] != out["qid"]]
+    top = (
+        out.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True])
+        .groupby("qid")
+        .head(5)
+    )
+    return pa.table(
+        {
+            "qid": pa.array(top["qid"].to_numpy(), pa.int64()),
+            "vec_id": pa.array(top["vec_id"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+_SQL_ANN_MULTI_TOP5 = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))
+SELECT qid, vec_id FROM (
+  SELECT q.qid, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id) AS rn
+  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+WHERE rn <= 5
 """
 
 
@@ -922,6 +1065,10 @@ QUERIES = {
     "semi_join_orders": q_semi_join_orders,
     "anti_join_orders": q_anti_join_orders,
     "asof_join_events": q_asof_join_events,
+    "range_join_events": q_range_join_events,
+    "median_chars_per_lang": q_median_chars_per_lang,
+    "top_terms_per_lang": q_top_terms_per_lang,
+    "ann_multi_top5": q_ann_multi_top5,
     "approx_distinct_users": q_approx_distinct_users,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
@@ -966,6 +1113,10 @@ ORACLE_SQL = {
     "semi_join_orders": _SQL_SEMI_JOIN_ORDERS,
     "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
     "asof_join_events": _SQL_ASOF_JOIN_EVENTS,
+    "range_join_events": _SQL_RANGE_JOIN_EVENTS,
+    "median_chars_per_lang": _SQL_MEDIAN_CHARS_PER_LANG,
+    "top_terms_per_lang": _SQL_TOP_TERMS_PER_LANG,
+    "ann_multi_top5": _SQL_ANN_MULTI_TOP5,
     "route_events": _SQL_ROUTE_EVENTS,
     "aggregate_documents": _SQL_AGGREGATE_DOCUMENTS,
     "tpch_q1_style": _SQL_TPCH_Q1_STYLE,

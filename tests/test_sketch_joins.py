@@ -80,3 +80,37 @@ def test_semi_anti_join_empty_keys_and_nulls():
     # null keys never match IN, and NOT IN drops them (SQL unknown)
     assert semi_join(ds, "k", ["a"]).to_pandas()["v"].tolist() == [1]
     assert sorted(anti_join(ds, "k", ["a"]).to_pandas()["v"].tolist()) == [2]
+
+
+def test_range_count_join_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.joins import range_count_join
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ts = pa.array(
+        (rng.integers(0, 10_000, n) * 1_000_000).astype("datetime64[us]")
+    )
+    users = pa.array([f"u{int(i)}" for i in rng.integers(0, 20, n)])
+    ev = pa.table(
+        {"event_id": pa.array(range(n), pa.int64()), "user_id": users, "ts": ts}
+    )
+    left = rd.from_arrow(ev.slice(0, 100))
+    right = rd.from_arrow(ev)
+    got = (
+        range_count_join(left, right, by="user_id", on="ts", lo_s=0, hi_s=1000)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = ev.to_pandas()
+    exp = []
+    for _, a in df.head(100).iterrows():
+        m = df[(df.user_id == a.user_id)
+               & (df.ts > a.ts)
+               & (df.ts <= a.ts + pd.Timedelta(seconds=1000))]
+        exp.append(len(m))
+    assert got["n_in_range"].tolist() == exp
+    assert got["event_id"].dtype == "int64"
