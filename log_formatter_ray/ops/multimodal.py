@@ -2,11 +2,18 @@
 
 Image/audio/video are carried as ``binary`` columns with metadata columns;
 decode / feature-extract / resize / frame-sample run as actor-pool
-``map_batches`` stages.  The decode KERNELS are stubbed (PIL/librosa/ffmpeg
-are not in this container): each stage tries the real library in
-``__init__`` and otherwise uses a deterministic fake decoder over our
-self-describing payload header.  The Ray-side plumbing — schema, batch
-sizing, actor signatures, output layout — is real and tested.
+``map_batches`` stages.
+
+Decode kernels, by format:
+
+* **REAL, dependency-free**: BMP (24-bit uncompressed) and PPM (P6) images
+  are decoded/encoded in pure numpy; WAV (PCM16) audio via the stdlib
+  ``wave`` module.  These run end-to-end on actual bytes — no fakes.
+* **Gated stubs**: formats that genuinely need an external codec
+  (JPEG/PNG → PIL, MP3 → librosa, MP4 → ffmpeg, all absent from this
+  container) raise ``NotImplementedError`` with the exact integration
+  point; the deterministic ``LFRM`` fake container remains for exercising
+  the video frame-sampler plumbing.
 
 Batch-size note (the 100 TB concern): binary payloads are wide; callers
 should pass a SMALL ``batch_size`` (e.g. 64) so batch × concurrency fits
@@ -16,8 +23,10 @@ the object store (never pandas-boxed).
 
 from __future__ import annotations
 
+import io
 import json
 import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -67,44 +76,181 @@ def _parse_header(payload: bytes) -> tuple[int, int, int, int]:
     return struct.unpack("<IIII", payload[4:20])
 
 
+# ---------------------------------------------------------------------------
+# Real, dependency-free codecs: BMP / PPM images, WAV audio
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes."""
+    h, w, _ = img.shape
+    row = w * 3
+    stride = (row + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :row] = img[:, :, ::-1].reshape(h, row)  # BGR, bottom-up
+    body = rows[::-1].tobytes()
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    ah = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    data = np.frombuffer(payload, np.uint8, count=stride * ah, offset=off)
+    img = data.reshape(ah, stride)[:, : w * 3].reshape(ah, w, 3)[:, :, ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8 RGB (handles comments/whitespace)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return (
+        np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """1-D int16 samples → mono PCM16 WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (samples float64 in int16 units, sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        sw = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if sw == 2:
+        samples = np.frombuffer(raw, "<i2").astype(np.float64)
+    elif sw == 1:
+        samples = np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return samples, rate
+
+
+def make_real_media(num_rows: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table with REAL payload bytes: BMP and PPM
+    images, WAV audio — decodable by the dependency-free kernels above."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, metas = [], [], [], []
+    for i in range(num_rows):
+        kind = ("image", "image", "audio")[i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img) if i % 3 == 0 else encode_ppm(img))
+            metas.append(json.dumps({"w": w, "h": h}, sort_keys=True))
+        else:
+            n = int(rng.integers(100, 2000))
+            samples = rng.integers(-20000, 20000, size=n).astype(np.int16)
+            payloads.append(encode_wav(samples))
+            metas.append(json.dumps({"n_samples": n, "rate": 8000}, sort_keys=True))
+        ids.append(i)
+        types.append(kind)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "media_type": pa.array(types, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 class ImageDecoder:
     """Decode stage: payload → (width, height, n_pixels, mean_intensity).
 
-    Real path (PIL) is attempted once per actor in ``__init__``; this
-    container has no PIL, so the deterministic fake header decode runs.
+    Per-payload format sniffing: BMP and PPM decode for REAL with the
+    dependency-free numpy codecs above; the ``LFRM`` fake container uses
+    its header; anything else (JPEG/PNG) needs PIL — attempted once per
+    actor in ``__init__``, else a gated NotImplementedError.
     """
 
     def __init__(self):
         try:  # pragma: no cover - PIL absent in this container
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
             self._pil = Image
         except ImportError:
             self._pil = None
-        # STUB GATE: flip to True only after implementing _decode_real —
-        # probing _pil alone would abort the stage wherever pillow happens
-        # to be importable even though the real kernel is not written.
-        self._use_real = False
 
-    def _decode_real(self, payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
+    def _decode_other(self, payload: bytes) -> tuple[int, int, float]:
+        if self._pil is not None:  # pragma: no cover - PIL absent here
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img)
+            return img.width, img.height, float(arr.mean())
         raise NotImplementedError(
-            "real image decode requires PIL; implement "
-            "Image.open(BytesIO(payload)) -> (width, height, mean) and set "
-            "self._use_real = True in __init__"
+            "JPEG/PNG decode requires PIL (absent from this container); "
+            "BMP/PPM/WAV/LFRM payloads decode without it"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, means = [], [], []
         for payload in batch["payload"].to_pylist():
-            if self._use_real:  # pragma: no cover
-                w, h, mean = self._decode_real(payload)
-                widths.append(w); heights.append(h); means.append(mean)
-                continue
-            w, h, _c, _f = _parse_header(payload)
-            body = np.frombuffer(payload[20:], dtype=np.uint8)
-            widths.append(w)
-            heights.append(h)
-            means.append(float(body.mean()) if body.size else 0.0)
+            if payload[:2] == b"BM":
+                img = decode_bmp(payload)
+                h, w, _ = img.shape
+                mean = float(img.mean()) if img.size else 0.0
+            elif payload[:2] == b"P6":
+                img = decode_ppm(payload)
+                h, w, _ = img.shape
+                mean = float(img.mean()) if img.size else 0.0
+            elif payload[:4] == _MAGIC:
+                w, h, _c, _f = _parse_header(payload)
+                body = np.frombuffer(payload[20:], dtype=np.uint8)
+                mean = float(body.mean()) if body.size else 0.0
+            else:
+                w, h, mean = self._decode_other(payload)
+            widths.append(int(w))
+            heights.append(int(h))
+            means.append(mean)
         batch = batch.append_column("width", pa.array(widths, pa.int32()))
         batch = batch.append_column("height", pa.array(heights, pa.int32()))
         batch = batch.append_column(
@@ -114,36 +260,63 @@ class ImageDecoder:
 
 
 class ImageResizer:
-    """Resize stage: emits a fixed-size thumbnail payload (fake: truncated /
-    tiled body) — demonstrates binary-out plumbing and stable output schema."""
+    """Resize stage: fixed-size thumbnail payloads.  BMP/PPM inputs get a
+    REAL nearest-neighbor resize (pure numpy) emitted as PPM; LFRM fakes
+    keep the tiled-body placeholder."""
 
     def __init__(self, out_w: int = 8, out_h: int = 8):
         self.out_w, self.out_h = out_w, out_h
+
+    def _nn_resize(self, img: np.ndarray) -> np.ndarray:
+        h, w, _ = img.shape
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        return img[rows][:, cols]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         size = self.out_w * self.out_h
         thumbs = []
         for payload in batch["payload"].to_pylist():
-            body = np.frombuffer(payload[20:], dtype=np.uint8)
-            tiled = np.resize(body, size) if body.size else np.zeros(size, np.uint8)
-            thumbs.append(
-                _MAGIC + struct.pack("<IIII", self.out_w, self.out_h, 3, 1) + tiled.tobytes()
-            )
+            if payload[:2] == b"BM":
+                thumbs.append(encode_ppm(self._nn_resize(decode_bmp(payload))))
+            elif payload[:2] == b"P6":
+                thumbs.append(encode_ppm(self._nn_resize(decode_ppm(payload))))
+            else:
+                body = np.frombuffer(payload[20:], dtype=np.uint8)
+                tiled = np.resize(body, size) if body.size else np.zeros(size, np.uint8)
+                thumbs.append(
+                    _MAGIC + struct.pack("<IIII", self.out_w, self.out_h, 3, 1) + tiled.tobytes()
+                )
         return batch.append_column("thumbnail", pa.array(thumbs, pa.binary()))
 
 
 class AudioFeaturizer:
-    """payload → (duration_ms, rms) — fake decode treats body bytes as
-    8 kHz u8 samples; real path would use soundfile/librosa (absent)."""
+    """payload → (duration_ms, rms).  RIFF/WAV payloads decode for REAL via
+    the stdlib ``wave`` module (PCM16/PCM8); LFRM fakes treat body bytes as
+    8 kHz u8 samples; MP3/OGG would need librosa (absent) and raise."""
 
     SAMPLE_RATE = 8000
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         durs, rmss = [], []
         for payload in batch["payload"].to_pylist():
-            body = np.frombuffer(payload[20:], dtype=np.uint8).astype(np.float64)
-            durs.append(1000.0 * body.size / self.SAMPLE_RATE)
-            rmss.append(float(np.sqrt(np.mean((body - 128.0) ** 2))) if body.size else 0.0)
+            if payload[:4] == b"RIFF":
+                samples, rate = decode_wav(payload)
+                durs.append(1000.0 * samples.size / rate)
+                rmss.append(
+                    float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+                )
+            elif payload[:4] == _MAGIC:
+                body = np.frombuffer(payload[20:], dtype=np.uint8).astype(np.float64)
+                durs.append(1000.0 * body.size / self.SAMPLE_RATE)
+                rmss.append(
+                    float(np.sqrt(np.mean((body - 128.0) ** 2))) if body.size else 0.0
+                )
+            else:
+                raise NotImplementedError(
+                    "compressed audio (MP3/OGG) needs librosa — absent here; "
+                    "WAV and LFRM payloads decode without it"
+                )
         batch = batch.append_column("duration_ms", pa.array(durs, pa.float64()))
         return batch.append_column("rms", pa.array(rmss, pa.float64()))
 

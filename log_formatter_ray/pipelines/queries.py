@@ -889,6 +889,18 @@ def q_media_decode(sf_dir: str):
     return ds.select_columns(["media_id", "width", "height", "n_pixels"])
 
 
+def q_media_decode_real(sf_dir: str):
+    """REAL image decode: actual BMP/PPM bytes through the dependency-free
+    numpy codecs (no fake headers), actor-pool stage, small batches."""
+    from log_formatter_ray.ops.multimodal import make_real_media
+
+    media = make_real_media(300)
+    imgs = rd.from_arrow(media).filter(
+        expr="media_type == 'image'"
+    ).map_batches(ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=2)
+    return imgs.select_columns(["media_id", "width", "height", "n_pixels"])
+
+
 # ---------------------------------------------------------------------------
 # Token-sequence operators (canonical tokens payload; corpus is synthetic →
 # rows-only checks, invariants tested in tests/test_tokens.py)
@@ -1096,6 +1108,7 @@ QUERIES = {
     "ann_top10": q_ann_top10,
     "ivf_ann_top10": q_ivf_ann_top10,
     "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_stats": q_pack_sequences_stats,

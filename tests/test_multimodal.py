@@ -79,3 +79,87 @@ def test_frame_sampler_one_to_many(media):
 def test_bad_payload_raises():
     with pytest.raises(ValueError):
         _parse_header(b"JUNKJUNKJUNKJUNKJUNK")
+
+
+def test_bmp_ppm_roundtrip():
+    import numpy as np
+
+    from log_formatter_ray.ops.multimodal import (
+        decode_bmp, decode_ppm, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w in ((1, 1), (3, 5), (17, 9), (32, 31)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img), (h, w)
+        assert np.array_equal(decode_ppm(encode_ppm(img)), img), (h, w)
+
+
+def test_ppm_decode_with_comments():
+    import numpy as np
+
+    from log_formatter_ray.ops.multimodal import decode_ppm
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    payload = b"P6\n# a comment\n2 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+
+
+def test_wav_roundtrip_and_featurizer():
+    import numpy as np
+    import pyarrow as pa
+
+    from log_formatter_ray.ops.multimodal import (
+        AudioFeaturizer, decode_wav, encode_wav,
+    )
+
+    rng = np.random.default_rng(6)
+    samples = rng.integers(-30000, 30000, size=1600).astype(np.int16)
+    payload = encode_wav(samples, rate=8000)
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(got.astype(np.int16), samples)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([payload], pa.binary()),
+        }
+    )
+    out = AudioFeaturizer()(t)
+    assert abs(out["duration_ms"][0].as_py() - 200.0) < 1e-9  # 1600/8000 s
+    exp_rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+    assert abs(out["rms"][0].as_py() - exp_rms) < 1e-9
+
+
+def test_real_media_decode_matches_meta():
+    import json
+
+    from log_formatter_ray.ops.multimodal import ImageDecoder, make_real_media
+
+    media = make_real_media(60)
+    imgs = media.filter(
+        __import__("pyarrow").compute.equal(media["media_type"], "image")
+    )
+    out = ImageDecoder()(imgs)
+    for w, h, meta in zip(
+        out["width"].to_pylist(), out["height"].to_pylist(), out["meta"].to_pylist()
+    ):
+        m = json.loads(meta)
+        assert (w, h) == (m["w"], m["h"])
+
+
+def test_real_resize_emits_decodable_thumbnail():
+    import numpy as np
+
+    from log_formatter_ray.ops.multimodal import (
+        ImageResizer, decode_ppm, make_real_media,
+    )
+
+    media = make_real_media(6)
+    imgs = media.filter(
+        __import__("pyarrow").compute.equal(media["media_type"], "image")
+    )
+    out = ImageResizer(out_w=8, out_h=8)(imgs)
+    for t in out["thumbnail"].to_pylist():
+        thumb = decode_ppm(t)
+        assert thumb.shape == (8, 8, 3)
+        assert thumb.dtype == np.uint8
