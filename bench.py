@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "minhash_clusters_documents",
     "tpch_q1_style",
     "chunk_sequences",
+    "top_terms_per_lang",
+    "range_join_events",
 ]
 
 

@@ -447,6 +447,25 @@ def q_embedding_dups(sf_dir: str):
 # Text analysis
 # ---------------------------------------------------------------------------
 
+def q_jaccard_near_dups(sf_dir: str):
+    """The n-gram-Jaccard dedup mode end to end: SimHash-banded candidate
+    generation (distributed), then EXACT word-trigram Jaccard verification
+    over only the candidate docs' texts (broadcast id-set fetch — bounded
+    by the sparse candidate set, never the corpus)."""
+    from log_formatter_ray.ops.dedup import simhash_candidates, verify_pairs_jaccard
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    sims = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None)
+    cands = simhash_candidates(sims)
+    verified = verify_pairs_jaccard(ds, cands, threshold=0.8)
+    return pa.table(
+        {
+            "a": pa.array(verified["a"].tolist(), pa.int64()),
+            "b": pa.array(verified["b"].tolist(), pa.int64()),
+        }
+    )
+
+
 def q_token_count_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None)
@@ -1093,6 +1112,7 @@ QUERIES = {
     "minhash_clusters_documents": q_minhash_clusters_documents,
     "simhash_documents": q_simhash_documents,
     "embedding_dups": q_embedding_dups,
+    "jaccard_near_dups": q_jaccard_near_dups,
     "token_count_documents": q_token_count_documents,
     "quality_stopwords": q_quality_stopwords,
     "fingerprint_documents": q_fingerprint_documents,

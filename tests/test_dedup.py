@@ -198,3 +198,23 @@ def test_embedding_dup_bucket_cap():
     ds = rd.from_arrow(t)
     pairs = embedding_dup_pairs(ds, threshold=0.99, nbits=4, max_bucket=5).to_pandas()
     assert 0 < len(pairs) <= 10  # C(5,2) per band, 2 bands
+
+
+def test_minhash_degenerate_identical_corpus_bounded():
+    """All-identical docs: every band bucket is the whole corpus — the
+    max_bucket cap must keep pairing O(cap^2), and the cluster must still
+    be found (one cluster containing at least the capped members)."""
+    n = 60
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["all documents carry the same words here"] * n),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    clusters = minhash_lsh_clusters(ds, threshold=0.5, max_bucket=10).to_pandas()
+    # identical docs => estimated jaccard 1.0 for every surviving pair;
+    # the cap bounds work, not correctness of what IS emitted
+    assert clusters["rep"].nunique() == 1
+    assert (clusters["rep"] == 0).all()
+    assert 2 <= len(clusters) <= n
