@@ -513,31 +513,104 @@ def jaccard(a: set, b: set) -> float:
 
 
 def verify_pairs_jaccard(
-    ds, pairs: pd.DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.6,
 ) -> pd.DataFrame:
-    """Exact n-gram Jaccard over candidate pairs.  Fetches ONLY the candidate
-    docs' texts (broadcast id-set filter), never the corpus."""
+    """Exact n-gram Jaccard over candidate pairs → DataFrame (a, b, jaccard),
+    pairs with jaccard ≥ threshold.
+
+    Distributed: candidate texts are fetched with a broadcast id-set filter
+    (only the sparse candidate docs leave the corpus scan), attached to
+    their pairs via a doc-keyed groupby, and the n-gram/Jaccard compute
+    runs inside a pair-keyed groupby — the driver holds only the candidate
+    ID broadcast and the (small) verified-pair result, never texts.
+    """
     if not isinstance(pairs, pd.DataFrame):
         pairs = pairs.to_pandas()
     if not len(pairs):
         return pd.DataFrame(columns=["a", "b", "jaccard"])
+    import ray.data as rd
+
+    # one deterministic 64-bit key per pair (collision over a sparse
+    # candidate set is negligible and would only merge two pairs' rows)
+    pair_key = _stable_hash64(
+        [f"{a}\x00{b}" for a, b in zip(pairs["a"], pairs["b"])]
+    ).astype(np.int64)
+    doc_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    incidence = pa.table(
+        {
+            "doc": pa.array(
+                np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+            ).cast(doc_type),
+            "pair_key": pa.array(np.concatenate([pair_key, pair_key])),
+            "slot": pa.array(
+                np.concatenate(
+                    [np.zeros(len(pairs), np.int8), np.ones(len(pairs), np.int8)]
+                )
+            ),
+            "text": pa.nulls(2 * len(pairs), pa.string()),
+        }
+    )
     wanted = set(pairs["a"]) | set(pairs["b"])
     want_ref = ray.put(pa.array(list(wanted)))
 
     def pick(batch: pa.Table) -> pa.Table:
-        return batch.select([id_col, text_col]).filter(
+        sub = batch.select([id_col, text_col]).filter(
             pc.is_in(batch[id_col], value_set=ray.get(want_ref))
+        )
+        return pa.table(
+            {
+                "doc": sub[id_col].combine_chunks(),
+                "pair_key": pa.nulls(len(sub), pa.int64()),
+                "slot": pa.nulls(len(sub), pa.int8()),
+                "text": sub[text_col].combine_chunks(),
+            }
         )
 
     texts = ds.map_batches(
         pick, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
-    text_of = dict(zip(texts[id_col], texts[text_col]))
-    sets = {d: ngram_set(t, n) for d, t in text_of.items()}
-    js = [jaccard(sets[a], sets[b]) for a, b in zip(pairs["a"], pairs["b"])]
-    out = pairs.assign(jaccard=js)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        txt = g.loc[g["pair_key"].isna(), "text"]
+        t = txt.iloc[0] if len(txt) else None
+        inc = g[g["pair_key"].notna()]
+        return pd.DataFrame(
+            {
+                "pair_key": inc["pair_key"].astype(np.int64),
+                "slot": inc["slot"].astype(np.int8),
+                "doc": inc["doc"],
+                "text": t,
+            }
+        )
+
+    per_pair_rows = (
+        texts.union(rd.from_arrow(incidence))
+        .groupby("doc")
+        .map_groups(attach, batch_format="pandas")
+    )
+
+    def judge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("slot")
+        if len(g) < 2:
+            return pd.DataFrame({"a": g["doc"].iloc[0:0], "b": g["doc"].iloc[0:0],
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        a_row, b_row = g.iloc[0], g.iloc[1]
+        j = jaccard(ngram_set(a_row["text"], n), ngram_set(b_row["text"], n))
+        if j < threshold:
+            return pd.DataFrame({"a": g["doc"].iloc[0:0], "b": g["doc"].iloc[0:0],
+                                 "jaccard": pd.Series(dtype=np.float64)})
+        return pd.DataFrame(
+            {"a": [a_row["doc"]], "b": [b_row["doc"]], "jaccard": [j]}
+        )
+
+    out = (
+        per_pair_rows.groupby("pair_key").map_groups(judge, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(columns=["a", "b", "jaccard"])
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
