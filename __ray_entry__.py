@@ -25,11 +25,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from log_formatter_ray.fixtures import generate_sequences
     from log_formatter_ray.pipelines.queries import QUERIES, sequences_dir_for
 
-    # Pre-generate the sf0.01 sequences corpus (idempotent, pure numpy) so
-    # the DuckDB oracles that read it by path work no matter whether the
-    # driver runs the SQL or the Ray query first.
+    # Pre-generate the oracle-gate sequences corpus (idempotent, pure
+    # numpy) so the DuckDB oracles that read it by path work no matter
+    # whether the driver runs the SQL or the Ray query first.
     try:
-        corpus, rows = sequences_dir_for("/root/testdata/sf0.01")
+        from log_formatter_ray.pipelines.queries import ORACLE_SF_DIR
+
+        corpus, rows = sequences_dir_for(ORACLE_SF_DIR)
         generate_sequences(corpus, rows, num_files=16)
     except Exception:  # noqa: BLE001 — queries() must never fail on pregen
         pass

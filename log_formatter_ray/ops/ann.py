@@ -235,6 +235,15 @@ class IVFIndex:
         files = sorted(
             f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
         )
+        if not files:  # every probed cluster is empty: zero candidates,
+            return pd.DataFrame(  # same shape the in-memory path returns
+                {
+                    "query_idx": pd.Series(dtype="int32"),
+                    id_col: pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int64"),
+                }
+            )
         ds = rd.read_parquet(files)
         return brute_force_topk(
             ds, np.atleast_2d(queries), k=k, emb_col=emb_col, id_col=id_col

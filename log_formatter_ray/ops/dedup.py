@@ -367,23 +367,24 @@ def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash
     sum of ±1 votes from each word's hash bit.  Fully vectorized: one Arrow
     whitespace split + ONE ``hash_array`` per batch, per-row vote sums via
     ``np.add.reduceat`` (no per-row Python)."""
+    from log_formatter_ray.ops.textstats import _per_row_sum
+
     n = len(batch)
     text = pc.fill_null(batch[text_col].combine_chunks(), "")
-    words = pc.split_pattern_regex(text, r"\s+")
+    # utf8_split_whitespace splits on UNICODE whitespace — the exact
+    # semantics of Python str.split(), the op's contract (an RE2 \s+ split
+    # would miss U+00A0 etc. and silently change signatures)
+    words = pc.utf8_split_whitespace(text)
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = offsets - offsets[0]
     flat = words.flatten()
-    # regex split leaves empty strings at leading/trailing whitespace —
+    # the split leaves empty strings at leading/trailing whitespace —
     # Python str.split() (the semantic contract) drops them
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     keep = np.asarray(keep, dtype=bool)
-    kept_per_row = np.zeros(n, dtype=np.int64)
-    nonempty_rows = offsets[:-1] < offsets[1:]
-    if keep.size:
-        sums = np.add.reduceat(keep.astype(np.int64), offsets[:-1][nonempty_rows])
-        kept_per_row[nonempty_rows] = sums
+    kept_per_row = _per_row_sum(keep.astype(np.int64), offsets)
     new_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(kept_per_row, out=new_offsets[1:])
     words_np = flat.to_numpy(zero_copy_only=False)[keep]
@@ -531,18 +532,17 @@ def verify_pairs_jaccard(
         return pd.DataFrame(columns=["a", "b", "jaccard"])
     import ray.data as rd
 
-    # one deterministic 64-bit key per pair (collision over a sparse
-    # candidate set is negligible and would only merge two pairs' rows)
-    pair_key = _stable_hash64(
-        [f"{a}\x00{b}" for a, b in zip(pairs["a"], pairs["b"])]
-    ).astype(np.int64)
+    # the judge groups on the LITERAL (a, b) pair — no hashed pair key, so
+    # neither a hash collision nor a duplicate input pair can splice rows
+    # from different pairs together
+    pairs = pairs.drop_duplicates(["a", "b"])
     doc_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+    a_np, b_np = pairs["a"].to_numpy(), pairs["b"].to_numpy()
     incidence = pa.table(
         {
-            "doc": pa.array(
-                np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-            ).cast(doc_type),
-            "pair_key": pa.array(np.concatenate([pair_key, pair_key])),
+            "doc": pa.array(np.concatenate([a_np, b_np])).cast(doc_type),
+            "pa_": pa.array(np.concatenate([a_np, a_np])).cast(doc_type),
+            "pb_": pa.array(np.concatenate([b_np, b_np])).cast(doc_type),
             "slot": pa.array(
                 np.concatenate(
                     [np.zeros(len(pairs), np.int8), np.ones(len(pairs), np.int8)]
@@ -561,7 +561,8 @@ def verify_pairs_jaccard(
         return pa.table(
             {
                 "doc": sub[id_col].combine_chunks(),
-                "pair_key": pa.nulls(len(sub), pa.int64()),
+                "pa_": pa.nulls(len(sub), doc_type),
+                "pb_": pa.nulls(len(sub), doc_type),
                 "slot": pa.nulls(len(sub), pa.int8()),
                 "text": sub[text_col].combine_chunks(),
             }
@@ -572,14 +573,14 @@ def verify_pairs_jaccard(
     )
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        txt = g.loc[g["pair_key"].isna(), "text"]
+        txt = g.loc[g["slot"].isna(), "text"]
         t = txt.iloc[0] if len(txt) else None
-        inc = g[g["pair_key"].notna()]
+        inc = g[g["slot"].notna()]
         return pd.DataFrame(
             {
-                "pair_key": inc["pair_key"].astype(np.int64),
+                "pa_": inc["pa_"],
+                "pb_": inc["pb_"],
                 "slot": inc["slot"].astype(np.int8),
-                "doc": inc["doc"],
                 "text": t,
             }
         )
@@ -591,21 +592,21 @@ def verify_pairs_jaccard(
     )
 
     def judge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("slot")
-        if len(g) < 2:
-            return pd.DataFrame({"a": g["doc"].iloc[0:0], "b": g["doc"].iloc[0:0],
-                                 "jaccard": pd.Series(dtype=np.float64)})
-        a_row, b_row = g.iloc[0], g.iloc[1]
-        j = jaccard(ngram_set(a_row["text"], n), ngram_set(b_row["text"], n))
+        empty = pd.DataFrame({"a": g["pa_"].iloc[0:0], "b": g["pb_"].iloc[0:0],
+                              "jaccard": pd.Series(dtype=np.float64)})
+        a_txt = g.loc[g["slot"] == 0, "text"]
+        b_txt = g.loc[g["slot"] == 1, "text"]
+        if not len(a_txt) or not len(b_txt):
+            return empty
+        j = jaccard(ngram_set(a_txt.iloc[0], n), ngram_set(b_txt.iloc[0], n))
         if j < threshold:
-            return pd.DataFrame({"a": g["doc"].iloc[0:0], "b": g["doc"].iloc[0:0],
-                                 "jaccard": pd.Series(dtype=np.float64)})
+            return empty
         return pd.DataFrame(
-            {"a": [a_row["doc"]], "b": [b_row["doc"]], "jaccard": [j]}
+            {"a": [g["pa_"].iloc[0]], "b": [g["pb_"].iloc[0]], "jaccard": [j]}
         )
 
     out = (
-        per_pair_rows.groupby("pair_key").map_groups(judge, batch_format="pandas")
+        per_pair_rows.groupby(["pa_", "pb_"]).map_groups(judge, batch_format="pandas")
         .to_pandas()
     )
     if out.empty:

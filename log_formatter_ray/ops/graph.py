@@ -13,10 +13,13 @@ Two execution plans, chosen like a query optimizer would:
   holds per-document or per-edge data.
 * **iterative min-label propagation** (``mode="distributed"``): the
   textbook bulk-synchronous CC.  Each round is two hash-partitioned
-  groupbys — (1) group current labels with the static edge-incidence rows
-  by node and SPREAD each node's label to its neighbors, (2) group the
-  messages by receiving node and take the minimum over {self} ∪ neighbors
-  — stopping when no label changed.  Converges in O(component diameter)
+  groupbys over COARSE partitions of the node space (``hash(node) %
+  coarse``) — (1) labels union the static edge-incidence rows, and a
+  vectorized pandas merge inside each partition SPREADS every node's label
+  to its neighbors; (2) the messages group by receiving node's partition
+  and a vectorized groupby-min takes the minimum over {self} ∪ neighbors —
+  stopping when no label changed.  Group functions run once per coarse
+  partition, never once per node.  Converges in O(component diameter)
   rounds (near-dup graphs are unions of bucket cliques: diameter is
   small).  No ``Dataset.join`` is used: Ray 2.49's hash-join builds
   schema-less empty tables for empty partitions, which poisons pyarrow's
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -72,6 +76,7 @@ def connected_components(
     mode: str = "auto",
     local_edge_limit: int = 5_000_000,
     max_iters: int = 50,
+    coarse: int = 1024,
 ):
     """Connected components of the undirected graph given by ``edges``
     (duplicate edges are fine) → Dataset ``(id, rep)`` where ``rep`` is the
@@ -89,56 +94,91 @@ def connected_components(
             _local_cc(a_col, b_col), batch_format="pandas", batch_size=None
         )
 
-    # --- iterative min-label propagation (join-free BSP) ----------------
+    # --- iterative min-label propagation (join-free, coarse-partitioned) --
+    #
+    # All per-round state is keyed by a COARSE hash partition of the node
+    # space (node_hash % coarse), and every group function is vectorized
+    # pandas over its whole partition (merge / groupby-min) — never one
+    # Python call per node, which at the >local_edge_limit scale this mode
+    # exists for would dwarf the real work.
     schema = edges.schema()
     node_t = dict(zip(schema.names, schema.types))[a_col]
-    lab_schema = pa.schema([("node", node_t), ("label", node_t)])
     union_schema = pa.schema(
-        [("node", node_t), ("label", node_t), ("other", node_t)]
+        [("part", pa.int32()), ("node", node_t), ("label", node_t),
+         ("other", node_t)]
     )
-    msg_schema = pa.schema(
-        [("node", node_t), ("label", node_t), ("is_old", pa.int8())]
+    lab_schema = pa.schema(
+        [("part", pa.int32()), ("node", node_t), ("label", node_t)]
     )
 
+    is_int_node = pa.types.is_integer(node_t)
+
+    def _part_np(values: np.ndarray) -> np.ndarray:
+        arr = np.asarray(values)
+        # canonicalize before hashing: pandas rounds upcast int nodes to
+        # float64 (null padding), and hash_array(float) != hash_array(int)
+        # — a drifted dtype would scatter a node's rows across partitions
+        if is_int_node:
+            arr = arr.astype(np.int64)
+        elif arr.dtype != object:
+            arr = arr.astype(object)
+        h = pd.util.hash_array(arr, categorize=False)
+        return (h % np.uint64(coarse)).astype(np.int32)
+
+    def _part_arrow(arr: pa.Array) -> pa.Array:
+        return pa.array(_part_np(arr.to_numpy(zero_copy_only=False)))
+
     def make_incidence(b: pa.Table) -> pa.Table:
-        a = b[a_col].combine_chunks()
-        bb = b[b_col].combine_chunks()
+        a = b[a_col].combine_chunks().cast(node_t)
+        bb = b[b_col].combine_chunks().cast(node_t)
         n = len(b)
+        node = pa.concat_arrays([a, bb])
         return pa.table(
             {
-                "node": pa.concat_arrays([a.cast(node_t), bb.cast(node_t)]),
+                "part": _part_arrow(node),
+                "node": node,
                 "label": pa.nulls(2 * n, node_t),
-                "other": pa.concat_arrays([bb.cast(node_t), a.cast(node_t)]),
+                "other": pa.concat_arrays([bb, a]),
             }
         ).cast(union_schema)
 
     incidence = edges.map_batches(
-        make_incidence, batch_format="pyarrow", batch_size=None
+        make_incidence, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     ).materialize()
 
-    def init_labels(b: pa.Table) -> pa.Table:
+    def init_pairs(b: pa.Table) -> pa.Table:
         a = b[a_col].combine_chunks().cast(node_t)
         bb = b[b_col].combine_chunks().cast(node_t)
         m = pc.min_element_wise(a, bb)
+        node = pa.concat_arrays([a, bb])
         return pa.table(
             {
-                "node": pa.concat_arrays([a, bb]),
+                "part": _part_arrow(node),
+                "node": node,
                 "label": pa.concat_arrays([m, m]),
             }
         ).cast(lab_schema)
 
-    def min_label(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": pa.array([t["node"][0].as_py()], node_t),
-                "label": pa.array([pc.min(t["label"]).as_py()], node_t),
-            }
-        )
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["node", "label"]).drop_duplicates("node")
+        return out[["part", "node", "label"]]
+
+    def norm_labels(b: pa.Table) -> pa.Table:
+        if b.num_columns == 0 or len(b) == 0:
+            return lab_schema.empty_table()
+        # pandas rounds may have upcast int labels to float (null padding);
+        # the cast back is safe — values are exact node ids
+        return b.select(["part", "node", "label"]).cast(lab_schema)
 
     labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow", batch_size=None)
-        .groupby("node")
-        .map_groups(min_label, batch_format="pyarrow")
+        edges.map_batches(
+            init_pairs, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .groupby("part")
+        .map_groups(min_per_node, batch_format="pandas")
+        .map_batches(norm_labels, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
 
@@ -147,38 +187,47 @@ def connected_components(
             return union_schema.empty_table()
         return pa.table(
             {
+                "part": b["part"].combine_chunks(),
                 "node": b["node"].combine_chunks(),
                 "label": b["label"].combine_chunks(),
                 "other": pa.nulls(len(b), node_t),
             }
         ).cast(union_schema)
 
-    def spread(t: pa.Table) -> pa.Table:
-        """One node's group: its current label row(s) + its incidence rows.
-        Sends the label to every neighbor, plus the tagged self row."""
-        is_inc = pc.is_valid(t["other"])
-        inc_other = t.filter(is_inc)["other"].combine_chunks()
-        lbl = pc.min(t.filter(pc.invert(is_inc))["label"]).as_py()
-        x = t["node"][0].as_py()
-        n_inc = len(inc_other)
-        return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [inc_other.cast(node_t), pa.array([x], node_t)]
-                ),
-                "label": pa.array([lbl] * (n_inc + 1), node_t),
-                "is_old": pa.array([0] * n_inc + [1], pa.int8()),
-            }
-        ).cast(msg_schema)
+    def spread(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse partition: label rows + incidence rows for its nodes.
+        Vectorized: attach each sender's label via a pandas merge, emit one
+        message per edge direction plus the tagged self rows."""
+        is_lab = g["other"].isna()
+        lab = g.loc[is_lab, ["node", "label"]].drop_duplicates("node")
+        inc = g.loc[~is_lab, ["node", "other"]]
+        m = inc.merge(lab, on="node", how="inner")
+        msgs = pd.DataFrame(
+            {"node": m["other"], "label": m["label"], "is_old": np.int8(0)}
+        )
+        olds = pd.DataFrame(
+            {"node": lab["node"], "label": lab["label"], "is_old": np.int8(1)}
+        )
+        out = pd.concat([msgs, olds], ignore_index=True)
+        out["part"] = _part_np(out["node"].to_numpy())
+        return out
 
-    def reduce_round(t: pa.Table) -> pa.Table:
-        old = pc.min(t.filter(pc.equal(t["is_old"], 1))["label"]).as_py()
-        new = pc.min(t["label"]).as_py()
-        return pa.table(
+    def reduce_round(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse partition of messages → per-node min + changed flag,
+        all vectorized (groupby-min + aligned compare)."""
+        olds = (
+            g.loc[g["is_old"] == 1, ["node", "label"]]
+            .drop_duplicates("node")
+            .set_index("node")["label"]
+        )
+        mins = g.groupby("node", sort=False)["label"].min()
+        changed = (mins < olds.reindex(mins.index)).fillna(False)
+        return pd.DataFrame(
             {
-                "node": pa.array([t["node"][0].as_py()], node_t),
-                "label": pa.array([new], node_t),
-                "changed": pa.array([int(new < old)], pa.int64()),
+                "part": g["part"].iloc[0],
+                "node": mins.index,
+                "label": mins.values,
+                "changed": changed.to_numpy().astype(np.int64),
             }
         )
 
@@ -186,12 +235,16 @@ def connected_components(
         merged = labels.map_batches(
             widen_labels, batch_format="pyarrow", batch_size=None
         ).union(incidence)
-        msgs = merged.groupby("node").map_groups(spread, batch_format="pyarrow")
-        new_labels = msgs.groupby("node").map_groups(
-            reduce_round, batch_format="pyarrow"
+        msgs = merged.groupby("part").map_groups(spread, batch_format="pandas")
+        new_labels = msgs.groupby("part").map_groups(
+            reduce_round, batch_format="pandas"
         ).materialize()
         changed = new_labels.sum("changed")
-        labels = new_labels.drop_columns(["changed"]).materialize()
+        labels = (
+            new_labels.drop_columns(["changed"])
+            .map_batches(norm_labels, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
         if not changed:
             break
     else:
@@ -200,6 +253,6 @@ def connected_components(
         )
 
     def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["id", "rep"])
+        return b.select(["node", "label"]).rename_columns(["id", "rep"])
 
     return labels.map_batches(rename, batch_format="pyarrow", batch_size=None)

@@ -161,6 +161,8 @@ def pack_sequences(
     bin_tok_counts = seg_cum[member_off[1:]] - seg_cum[member_off[:-1]]
     bin_tok_off = np.zeros(len(bins) + 1, dtype=np.int64)
     np.cumsum(bin_tok_counts, out=bin_tok_off[1:])
+    if total_out >= 2**31:  # same loud guard as chunk_sequences/fixtures
+        raise ValueError("packed block exceeds 2^31 tokens; use smaller blocks")
     tokens_out = pa.ListArray.from_arrays(
         pa.array(bin_tok_off.astype(np.int32), pa.int32()),
         pa.array(values, pa.int32()),

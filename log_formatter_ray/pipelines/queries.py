@@ -78,7 +78,7 @@ def q_flagship_documents(sf_dir: str):
         ),
         default_sink="sink_standard",
     )
-    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["sink", "source"], count_alias="n")
 
 
@@ -105,7 +105,7 @@ def q_parse_events_props(sf_dir: str):
         target_field="props",
         casts={"k": pa.int64()},
     )
-    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["event_type"], count_alias="n", sum_cols={"k": "sum_k"})
 
 
@@ -123,7 +123,7 @@ def q_parse_documents_source(sf_dir: str):
         target_field="source",
         casts={"src_num": pa.int64()},
     )
-    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["lang"], count_alias="n", sum_cols={"src_num": "sum_src"})
 
 
@@ -306,7 +306,7 @@ def q_route_events(sf_dir: str):
         ),
         default_sink="sink_standard",
     )
-    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(router, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["sink", "event_type"], count_alias="n")
 
 
@@ -351,7 +351,7 @@ def q_tpch_q1_style(sf_dir: str):
         t = t.append_column("sum_qty", qty)
         return t.drop_columns(["sum_qty_f"])
 
-    return agg.map_batches(cast_qty, batch_format="pyarrow", batch_size=None)
+    return agg.map_batches(cast_qty, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 _SQL_TPCH_Q1_STYLE = """
@@ -433,7 +433,7 @@ def q_minhash_clusters_documents(sf_dir: str):
 
 def q_simhash_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None).select_columns(
+    return ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
         ["doc_id", "simhash"]
     )
 
@@ -455,7 +455,7 @@ def q_jaccard_near_dups(sf_dir: str):
     from log_formatter_ray.ops.dedup import simhash_candidates, verify_pairs_jaccard
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    sims = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None)
+    sims = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     cands = simhash_candidates(sims)
     verified = verify_pairs_jaccard(ds, cands, threshold=0.8)
     return pa.table(
@@ -468,8 +468,8 @@ def q_jaccard_near_dups(sf_dir: str):
 
 def q_token_count_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None)
-    ds = ds.map_batches(add_bpe_ish_count, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    ds = ds.map_batches(add_bpe_ish_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return ds.select_columns(["doc_id", "n_words", "n_bpe"])
 
 
@@ -482,7 +482,7 @@ FROM documents
 
 def q_quality_stopwords(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return ds.select_columns(["doc_id", "n_words", "n_stop"])
 
 
@@ -496,7 +496,7 @@ FROM documents
 
 def q_fingerprint_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_fingerprint_md5, batch_format="pyarrow", batch_size=None).select_columns(
+    return ds.map_batches(add_fingerprint_md5, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
         ["doc_id", "fp"]
     )
 
@@ -510,7 +510,7 @@ def q_clean_text_documents(sf_dir: str):
     from log_formatter_ray.ops.textstats import add_clean_text
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_clean_text, batch_format="pyarrow", batch_size=None).select_columns(
+    return ds.map_batches(add_clean_text, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
         ["doc_id", "clean_text"]
     )
 
@@ -529,7 +529,7 @@ def q_quantize_embeddings(sf_dir: str):
     from log_formatter_ray.ops.ann import quantize_embeddings
 
     ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ds.map_batches(quantize_embeddings, batch_format="pyarrow", batch_size=None)
+    out = ds.map_batches(quantize_embeddings, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
     def summarize(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -542,7 +542,7 @@ def q_quantize_embeddings(sf_dir: str):
             }
         )
 
-    return out.map_batches(summarize, batch_format="pyarrow", batch_size=None)
+    return out.map_batches(summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 _SQL_QUANTIZE_EMBEDDINGS = """
@@ -590,7 +590,7 @@ FROM (
 
 def q_rolling_fingerprint_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow", batch_size=None).select_columns(
+    return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
         ["doc_id", "fp_roll"]
     )
 
@@ -760,6 +760,9 @@ def q_top_terms_per_lang(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["lang", "text"])
 
     def word_counts(batch: pa.Table) -> pa.Table:
+        # null texts contribute no words (unnest(NULL) semantics in the
+        # SQL oracle); dropping them also keeps the repeat counts integral
+        batch = batch.filter(pc.is_valid(batch["text"]))
         words = pc.split_pattern(batch["text"], " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -985,11 +988,16 @@ def q_token_histogram_top(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Oracles over the synthetic sequences corpus: DuckDB reads the SAME parquet
-# shards the Ray pipelines read (the driver gate runs at sf0.01; queries()
-# pre-generates that corpus in __ray_entry__ so either side can run first).
+# shards the Ray pipelines read.  The oracle SQL is a static string, so the
+# glob is frozen at import for ONE sf dir — the driver's gate dir (sf0.01)
+# by default; tools/check_oracle.py exports GRAFT_ORACLE_SF_DIR before
+# importing so a self-check at another sf compares the right corpus.
+# queries() pre-generates the corpus in __ray_entry__ so either side can
+# run first.
 # ---------------------------------------------------------------------------
 
-_ORACLE_SEQ_GLOB = os.path.join(sequences_dir_for("/root/testdata/sf0.01")[0], "*.parquet")
+ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+_ORACLE_SEQ_GLOB = os.path.join(sequences_dir_for(ORACLE_SF_DIR)[0], "*.parquet")
 
 _SQL_CHUNK_SEQUENCES = f"""
 SELECT CAST(SUM(GREATEST(CAST(CEIL(n_tok / 512.0) AS BIGINT), 1)) AS BIGINT) AS n_chunks,

@@ -132,6 +132,7 @@ def test_simhash_matches_naive_reference():
     texts = [
         "", None, "one", "  spaced   out  words  ", "tab\tand\nnewline",
         "the quick brown fox " * 5, "unicode éè 中文 mix",
+        "nbsp separated", "ideographic　space", "vtab\x0bsep", "nl\u2028sep",
     ]
     t = pa.table({"text": pa.array(texts, pa.string())})
     got = add_simhash(t)["simhash"].to_pylist()

@@ -45,6 +45,9 @@ def value_hash(df: pd.DataFrame) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # the sequences-corpus oracle SQL freezes its parquet glob at import —
+    # point it at THIS run's sf dir before __ray_entry__ is imported
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     ray.init(
         address="local", num_cpus=8, include_dashboard=False,
