@@ -62,7 +62,8 @@ def _stable_hash64(values) -> np.ndarray:
 
 def _add_content_hash(text_col: str, out_col: str):
     def fn(batch: pa.Table) -> pa.Table:
-        h = _stable_hash64(batch[text_col].to_pylist())
+        vals = batch[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _stable_hash64(vals)
         return batch.append_column(out_col, pa.array(h.astype(np.int64)))
 
     return fn

@@ -25,7 +25,7 @@ def hll_sketch(values) -> np.ndarray:
     regs = np.zeros(_M, dtype=np.uint8)
     if len(values) == 0:
         return regs
-    h = _stable_hash64(list(values))
+    h = _stable_hash64(values)
     idx = (h & np.uint64(_M - 1)).astype(np.int64)
     rest = h >> np.uint64(_B)
     # rank = position of the leftmost 1-bit in the remaining 52 bits (1-based)
@@ -58,9 +58,12 @@ def approx_distinct(ds, col: str) -> float:
     driver merge (4 KB per block crosses the wire, nothing shuffles)."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        vals = batch[col].to_pylist()
+        vals = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
         regs = hll_sketch(vals)
-        return pa.table({"sketch": pa.array([regs.tolist()], pa.list_(pa.uint8()))})
+        sketch = pa.ListArray.from_arrays(
+            pa.array([0, _M], pa.int32()), pa.array(regs, pa.uint8())
+        )
+        return pa.table({"sketch": sketch})
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     total = np.zeros(_M, dtype=np.uint8)

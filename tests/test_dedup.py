@@ -218,3 +218,22 @@ def test_minhash_degenerate_identical_corpus_bounded():
     assert clusters["rep"].nunique() == 1
     assert (clusters["rep"] == 0).all()
     assert 2 <= len(clusters) <= n
+
+
+def test_connected_components_random_graph_parity():
+    """2000 random edges over 1500 nodes: the coarse-partitioned
+    distributed plan must agree exactly with the single-worker union-find
+    (multi-partition, multi-round propagation on a non-trivial graph)."""
+    from log_formatter_ray.ops.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1500, 2000)
+    b = rng.integers(0, 1500, 2000)
+    m = a != b
+    edges = pd.DataFrame({"a": a[m], "b": b[m]})
+    ds = rd.from_pandas(edges).repartition(4)
+    loc = connected_components(ds, mode="local").to_pandas()
+    dist = connected_components(ds, mode="distributed", coarse=64).to_pandas()
+    lmap = dict(zip(loc["id"].astype(int), loc["rep"].astype(int)))
+    dmap = dict(zip(dist["id"].astype(int), dist["rep"].astype(int)))
+    assert lmap == dmap
