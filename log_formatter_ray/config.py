@@ -22,13 +22,17 @@ module reproduces that surface:
     output:
       parquet: {path: /data/out, partition_cols: [sink]}
 
-HTTP config fetch (util/config.go:42-54) is intentionally NOT reproduced
-(no network in scope); loading is file-only.
+HTTP config fetch (the reference's agent takes its config from the
+controller over HTTP, util/config.go:42-54) is reproduced for http(s) URLs
+via ``load_config_file("http://...")`` — fetched once at load, stdlib
+urllib, no external deps.  ``!include`` stays file-relative (fragments
+inside an HTTP-fetched config are not resolved remotely).
 """
 
 from __future__ import annotations
 
 import os
+import urllib.request
 
 import yaml
 
@@ -54,6 +58,10 @@ MANDATORY_SECTIONS = ("input", "pipeline", "output")  # manager.go:90-120
 
 
 def load_config_file(path: str) -> dict:
+    if path.startswith(("http://", "https://")):
+        # controller-served config (util/config.go:42-54 analog)
+        with urllib.request.urlopen(path) as r:
+            return load_config_str(r.read().decode())
     with open(path) as f:
         cfg = yaml.load(f, _IncludeLoader)
     validate_config(cfg)

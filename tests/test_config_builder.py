@@ -139,3 +139,40 @@ output: {console: {}}
     )
     with pytest.raises(ValueError, match="unknown formatter"):
         PlanBuilder(cfg).build()
+
+
+def test_http_config_fetch():
+    """Controller-served config (util/config.go:42-54 analog): load the
+    same YAML over a localhost HTTP server."""
+    import http.server
+    import threading
+
+    from log_formatter_ray.config import load_config_file
+
+    yml = b"""
+input:
+  parquet: {path: /tmp/x}
+pipeline:
+  formatters: []
+output:
+  parquet: {path: /tmp/y}
+"""
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(yml)))
+            self.end_headers()
+            self.wfile.write(yml)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        cfg = load_config_file(f"http://127.0.0.1:{srv.server_address[1]}/cfg.yml")
+        assert cfg["input"] == {"parquet": {"path": "/tmp/x"}}
+        assert "output" in cfg and "pipeline" in cfg
+    finally:
+        srv.shutdown()
