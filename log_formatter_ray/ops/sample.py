@@ -1,0 +1,101 @@
+"""Deterministic sampling and splitting — the data-mixing primitives a
+training pipeline runs before anything else.
+
+Everything here keys on the process-stable 64-bit content hash of an id
+column, NEVER Python's salted ``hash()`` and never an RNG — so any two
+runs (and any two parallelism levels) select byte-identical row sets, a
+resumability requirement at 100 TB.
+
+* ``split_by_hash`` — assign each row to train/val/test (or any weighted
+  buckets) by ``hash(id) % denom``: a row's split never changes when the
+  corpus grows, shrinks, or is re-sharded.
+* ``sample_by_hash`` — keep a deterministic ~fraction of rows (same
+  mechanism, one bucket).
+* ``reservoir_top_hash`` — EXACTLY-k deterministic "uniform" sample: keep
+  the k smallest hash priorities via per-block partial top-k (k rows per
+  block cross the wire, nothing shuffles; the driver merges k-row
+  partials).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from log_formatter_ray.ops.dedup import _stable_hash64
+
+
+def _hash_mod(batch: pa.Table, id_col: str, denom: int) -> np.ndarray:
+    vals = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    return (_stable_hash64(vals) % np.uint64(denom)).astype(np.int64)
+
+
+def split_by_hash(
+    ds,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    denom: int = 10_000,
+    out_col: str = "split",
+):
+    """Add a ``split`` column by hash bucket.  ``splits`` maps name →
+    fraction (must sum to ≤ 1; the remainder, if any, gets "rest")."""
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    names, bounds, acc = [], [], 0.0
+    for name, frac in splits.items():
+        acc += frac
+        names.append(name)
+        bounds.append(int(round(acc * denom)))
+    if bounds and bounds[-1] < denom:
+        names.append("rest")
+        bounds.append(denom)
+    names_arr = np.array(names, dtype=object)
+    bounds_arr = np.array(bounds, dtype=np.int64)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        h = _hash_mod(batch, id_col, denom)
+        idx = np.searchsorted(bounds_arr, h, side="right")
+        return batch.append_column(out_col, pa.array(names_arr[idx], pa.string()))
+
+    return ds.map_batches(
+        tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def sample_by_hash(ds, frac: float, id_col: str = "doc_id", denom: int = 10_000):
+    """Keep a deterministic ≈``frac`` of rows (exact row set is stable
+    across runs, shard layouts, and cluster sizes)."""
+    cut = int(round(frac * denom))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _hash_mod(batch, id_col, denom)
+        return batch.filter(pa.array(h < cut))
+
+    return ds.map_batches(
+        keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def reservoir_top_hash(ds, k: int, id_col: str = "doc_id") -> pd.DataFrame:
+    """Exactly ``min(k, n)`` rows with the smallest hash priority — a
+    deterministic uniform-ish sample.  Per-block partial top-k (k rows per
+    block travel), tiny driver merge; the corpus never shuffles."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _stable_hash64(vals)
+        take = min(k, len(h))
+        order = np.lexsort((vals, h))[:take]
+        out = batch.take(pa.array(order))
+        return out.append_column("_prio", pa.array(h[order].astype(np.int64)))
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    # _prio carries the uint64 priority in int64 bits; reinterpret before
+    # sorting (a plain int64 sort would rank wrapped-negative hashes first)
+    prio = partials["_prio"].to_numpy().astype(np.uint64)
+    order = np.lexsort((partials[id_col].to_numpy(), prio))[:k]
+    return (
+        partials.iloc[order].drop(columns=["_prio"]).reset_index(drop=True)
+    )

@@ -684,6 +684,51 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_split_counts_documents(sf_dir: str):
+    """Deterministic train/val/test assignment by stable id hash (rows-only:
+    the split function is hash-defined; stability across parallelism levels
+    is asserted in tests)."""
+    from log_formatter_ray.ops.sample import split_by_hash
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+    tagged = split_by_hash(ds, splits={"train": 0.9, "val": 0.05, "test": 0.05})
+    return grouped_count(tagged, ["split"], count_alias="n")
+
+
+def q_sample_documents(sf_dir: str):
+    """Deterministic ~10% sample by stable id hash (rows-only)."""
+    from log_formatter_ray.ops.sample import sample_by_hash
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id"])
+    n = sample_by_hash(ds, 0.1).count()
+    return pa.table({"n_sampled": pa.array([int(n)], pa.int64())})
+
+
+def q_p95_value_per_type(sf_dir: str):
+    """Grouped 95th percentile (linear interpolation — the quantile_cont
+    definition both pandas and DuckDB implement); rounded to 6 dp on both
+    sides so last-ulp interpolation differences cannot flip the hash."""
+    import pandas as pd
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+    def q95(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p95": [round(float(g["value"].quantile(0.95)), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q95, batch_format="pandas")
+
+
+_SQL_P95_VALUE_PER_TYPE = """
+SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type
+"""
+
+
 def q_range_join_events(sf_dir: str):
     """Range (interval) join: for each error event, the number of events by
     the same user in the following 5 minutes (custom operator: one shuffle
@@ -1105,6 +1150,9 @@ QUERIES = {
     "anti_join_orders": q_anti_join_orders,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
+    "split_counts_documents": q_split_counts_documents,
+    "sample_documents": q_sample_documents,
+    "p95_value_per_type": q_p95_value_per_type,
     "median_chars_per_lang": q_median_chars_per_lang,
     "top_terms_per_lang": q_top_terms_per_lang,
     "ann_multi_top5": q_ann_multi_top5,
@@ -1155,6 +1203,7 @@ ORACLE_SQL = {
     "anti_join_orders": _SQL_ANTI_JOIN_ORDERS,
     "asof_join_events": _SQL_ASOF_JOIN_EVENTS,
     "range_join_events": _SQL_RANGE_JOIN_EVENTS,
+    "p95_value_per_type": _SQL_P95_VALUE_PER_TYPE,
     "median_chars_per_lang": _SQL_MEDIAN_CHARS_PER_LANG,
     "top_terms_per_lang": _SQL_TOP_TERMS_PER_LANG,
     "ann_multi_top5": _SQL_ANN_MULTI_TOP5,

@@ -1,0 +1,70 @@
+"""Deterministic hash-based sampling / splitting."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from log_formatter_ray.ops.dedup import _stable_hash64
+from log_formatter_ray.ops.sample import (
+    reservoir_top_hash,
+    sample_by_hash,
+    split_by_hash,
+)
+
+
+def _docs(n=2000):
+    return pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i:06d}" for i in range(n)]),
+            "x": pa.array(range(n), pa.int64()),
+        }
+    )
+
+
+def test_split_by_hash_stable_across_parallelism():
+    t = _docs()
+    a = (
+        split_by_hash(rd.from_arrow(t).repartition(2))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        split_by_hash(rd.from_arrow(t).repartition(13))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = (a["split"] == "train").mean()
+    assert 0.95 < frac < 0.99  # ~0.98 by construction
+
+
+def test_split_by_hash_partition_is_exhaustive_and_disjoint():
+    t = _docs(500)
+    out = split_by_hash(
+        rd.from_arrow(t), splits={"train": 0.5, "val": 0.25}
+    ).to_pandas()
+    assert set(out["split"]) <= {"train", "val", "rest"}
+    assert len(out) == 500  # every row gets exactly one split
+
+
+def test_sample_by_hash_is_subset_and_stable():
+    t = _docs()
+    s1 = set(sample_by_hash(rd.from_arrow(t).repartition(3), 0.2)
+             .to_pandas()["doc_id"])
+    s2 = set(sample_by_hash(rd.from_arrow(t).repartition(7), 0.2)
+             .to_pandas()["doc_id"])
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+    # sampling commutes with growing the corpus: old rows keep their fate
+    bigger = _docs(3000)
+    s3 = set(sample_by_hash(rd.from_arrow(bigger), 0.2).to_pandas()["doc_id"])
+    assert s1 == {d for d in s3 if d < "doc-002000"}
+
+
+def test_reservoir_top_hash_matches_global_answer():
+    t = _docs(1000)
+    got = reservoir_top_hash(rd.from_arrow(t).repartition(8), k=25)
+    ids = np.asarray(t["doc_id"].to_pylist(), dtype=object)
+    h = _stable_hash64(ids)
+    exp = ids[np.lexsort((ids, h))[:25]].tolist()
+    assert got["doc_id"].tolist() == exp
+    assert list(got.columns) == ["doc_id", "x"]
