@@ -59,9 +59,16 @@ MANDATORY_SECTIONS = ("input", "pipeline", "output")  # manager.go:90-120
 
 def load_config_file(path: str) -> dict:
     if path.startswith(("http://", "https://")):
-        # controller-served config (util/config.go:42-54 analog)
-        with urllib.request.urlopen(path) as r:
-            return load_config_str(r.read().decode())
+        # controller-served config (util/config.go:42-54 analog); bounded
+        # startup step — never hang on a wedged controller
+        with urllib.request.urlopen(path, timeout=10) as r:
+            text = r.read().decode()
+        if "!include" in text:
+            raise ValueError(
+                "!include fragments are not supported in HTTP-fetched "
+                "configs (no remote base path to resolve against)"
+            )
+        return load_config_str(text)
     with open(path) as f:
         cfg = yaml.load(f, _IncludeLoader)
     validate_config(cfg)

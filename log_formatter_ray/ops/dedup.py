@@ -538,6 +538,15 @@ def verify_pairs_jaccard(
     # from different pairs together
     pairs = pairs.drop_duplicates(["a", "b"])
     doc_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+
+    def _dummy_ids(n: int) -> pa.Array:
+        # text rows carry DUMMY pair ids, not nulls: a null in an int64
+        # column would float64-upcast the whole column in the pandas group
+        # functions, corrupting ids >= 2^53 (row kind is the slot column)
+        if pa.types.is_integer(doc_type):
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(doc_type)
+        return pa.nulls(n, doc_type)
+
     a_np, b_np = pairs["a"].to_numpy(), pairs["b"].to_numpy()
     incidence = pa.table(
         {
@@ -562,8 +571,8 @@ def verify_pairs_jaccard(
         return pa.table(
             {
                 "doc": sub[id_col].combine_chunks(),
-                "pa_": pa.nulls(len(sub), doc_type),
-                "pb_": pa.nulls(len(sub), doc_type),
+                "pa_": _dummy_ids(len(sub)),
+                "pb_": _dummy_ids(len(sub)),
                 "slot": pa.nulls(len(sub), pa.int8()),
                 "text": sub[text_col].combine_chunks(),
             }

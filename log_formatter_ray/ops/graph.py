@@ -105,13 +105,23 @@ def connected_components(
     node_t = dict(zip(schema.names, schema.types))[a_col]
     union_schema = pa.schema(
         [("part", pa.int32()), ("node", node_t), ("label", node_t),
-         ("other", node_t)]
+         ("other", node_t), ("is_inc", pa.int8())]
     )
     lab_schema = pa.schema(
         [("part", pa.int32()), ("node", node_t), ("label", node_t)]
     )
 
     is_int_node = pa.types.is_integer(node_t)
+
+    def _dummy(n: int) -> pa.Array:
+        # Row-kind is carried by the EXPLICIT is_inc flag, never by nulls:
+        # a null in an int64 column would make pandas upcast the whole
+        # column to float64 inside the group functions, silently corrupting
+        # node ids >= 2^53.  Integer columns get a 0 dummy; other types
+        # keep nulls (object transport is lossless).
+        if is_int_node:
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(node_t)
+        return pa.nulls(n, node_t)
 
     def _part_np(values: np.ndarray) -> np.ndarray:
         arr = np.asarray(values)
@@ -137,8 +147,9 @@ def connected_components(
             {
                 "part": _part_arrow(node),
                 "node": node,
-                "label": pa.nulls(2 * n, node_t),
+                "label": _dummy(2 * n),
                 "other": pa.concat_arrays([bb, a]),
+                "is_inc": pa.array(np.ones(2 * n, np.int8)),
             }
         ).cast(union_schema)
 
@@ -167,8 +178,6 @@ def connected_components(
     def norm_labels(b: pa.Table) -> pa.Table:
         if b.num_columns == 0 or len(b) == 0:
             return lab_schema.empty_table()
-        # pandas rounds may have upcast int labels to float (null padding);
-        # the cast back is safe — values are exact node ids
         return b.select(["part", "node", "label"]).cast(lab_schema)
 
     labels = (
@@ -178,7 +187,8 @@ def connected_components(
         )
         .groupby("part")
         .map_groups(min_per_node, batch_format="pandas")
-        .map_batches(norm_labels, batch_format="pyarrow", batch_size=None)
+        .map_batches(norm_labels, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
         .materialize()
     )
 
@@ -190,7 +200,8 @@ def connected_components(
                 "part": b["part"].combine_chunks(),
                 "node": b["node"].combine_chunks(),
                 "label": b["label"].combine_chunks(),
-                "other": pa.nulls(len(b), node_t),
+                "other": _dummy(len(b)),
+                "is_inc": pa.array(np.zeros(len(b), np.int8)),
             }
         ).cast(union_schema)
 
@@ -198,7 +209,7 @@ def connected_components(
         """One coarse partition: label rows + incidence rows for its nodes.
         Vectorized: attach each sender's label via a pandas merge, emit one
         message per edge direction plus the tagged self rows."""
-        is_lab = g["other"].isna()
+        is_lab = g["is_inc"] == 0
         lab = g.loc[is_lab, ["node", "label"]].drop_duplicates("node")
         inc = g.loc[~is_lab, ["node", "other"]]
         m = inc.merge(lab, on="node", how="inner")
@@ -233,7 +244,8 @@ def connected_components(
 
     for _ in range(max_iters):
         merged = labels.map_batches(
-            widen_labels, batch_format="pyarrow", batch_size=None
+            widen_labels, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         ).union(incidence)
         msgs = merged.groupby("part").map_groups(spread, batch_format="pandas")
         new_labels = msgs.groupby("part").map_groups(
@@ -242,7 +254,8 @@ def connected_components(
         changed = new_labels.sum("changed")
         labels = (
             new_labels.drop_columns(["changed"])
-            .map_batches(norm_labels, batch_format="pyarrow", batch_size=None)
+            .map_batches(norm_labels, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
             .materialize()
         )
         if not changed:
@@ -255,4 +268,6 @@ def connected_components(
     def rename(b: pa.Table) -> pa.Table:
         return b.select(["node", "label"]).rename_columns(["id", "rep"])
 
-    return labels.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return labels.map_batches(
+        rename, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -41,6 +41,10 @@ def split_by_hash(
     """Add a ``split`` column by hash bucket.  ``splits`` maps name →
     fraction (must sum to ≤ 1; the remainder, if any, gets "rest")."""
     splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if any(f < 0 for f in splits.values()):
+        raise ValueError(f"split fractions must be non-negative: {splits}")
+    if sum(splits.values()) > 1 + 1e-9:
+        raise ValueError(f"split fractions sum to more than 1: {splits}")
     names, bounds, acc = [], [], 0.0
     for name, frac in splits.items():
         acc += frac

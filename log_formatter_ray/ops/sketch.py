@@ -65,7 +65,9 @@ def approx_distinct(ds, col: str) -> float:
         )
         return pa.table({"sketch": sketch})
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
     total = np.zeros(_M, dtype=np.uint8)
     for b in partials.iter_batches(batch_format="pyarrow"):
         for row in b["sketch"].to_pylist():

@@ -705,18 +705,24 @@ def q_sample_documents(sf_dir: str):
 
 
 def q_p95_value_per_type(sf_dir: str):
-    """Grouped 95th percentile (linear interpolation — the quantile_cont
-    definition both pandas and DuckDB implement); rounded to 6 dp on both
-    sides so last-ulp interpolation differences cannot flip the hash."""
+    """Grouped DISCRETE 95th percentile: the sorted element at index
+    ⌈0.95·n⌉−1 — an actual data value, so both engines return the same
+    float bit pattern (an interpolated quantile_cont would be a computed
+    float aggregate, which the oracle hash contract forbids; verified:
+    DuckDB's quantile_disc picks exactly this index)."""
+    import math
+
     import pandas as pd
 
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
 
     def q95(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].dropna().to_numpy(np.float64))
+        idx = max(0, math.ceil(0.95 * len(v)) - 1)
         return pd.DataFrame(
             {
                 "event_type": [g["event_type"].iloc[0]],
-                "p95": [round(float(g["value"].quantile(0.95)), 6)],
+                "p95": [float(v[idx])] if len(v) else [float("nan")],
             }
         )
 
@@ -724,7 +730,7 @@ def q_p95_value_per_type(sf_dir: str):
 
 
 _SQL_P95_VALUE_PER_TYPE = """
-SELECT event_type, ROUND(quantile_cont(value, 0.95), 6) AS p95
+SELECT event_type, quantile_disc(value, 0.95) AS p95
 FROM events GROUP BY event_type
 """
 

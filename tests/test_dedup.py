@@ -237,3 +237,40 @@ def test_connected_components_random_graph_parity():
     lmap = dict(zip(loc["id"].astype(int), loc["rep"].astype(int)))
     dmap = dict(zip(dist["id"].astype(int), dist["rep"].astype(int)))
     assert lmap == dmap
+
+
+def test_connected_components_huge_int_ids_exact():
+    """Node ids above 2^53 must survive the distributed rounds exactly
+    (a float64 round-trip would silently merge adjacent ids)."""
+    from log_formatter_ray.ops.graph import connected_components
+
+    base = 2**62
+    edges = pd.DataFrame(
+        {"a": [base + 1, base + 2, base + 5],
+         "b": [base + 2, base + 3, base + 6]}
+    )
+    for mode in ("local", "distributed"):
+        got = connected_components(rd.from_pandas(edges), mode=mode).to_pandas()
+        m = dict(zip(got["id"].astype(np.uint64), got["rep"].astype(np.uint64)))
+        assert m == {
+            base + 1: base + 1, base + 2: base + 1, base + 3: base + 1,
+            base + 5: base + 5, base + 6: base + 5,
+        }, mode
+
+
+def test_verify_pairs_jaccard_huge_int_ids_and_dup_pairs():
+    base = 2**62
+    t = pa.table(
+        {
+            "doc_id": pa.array([base + 1, base + 2, base + 3], pa.int64()),
+            "text": ["alpha beta gamma delta"] * 2 + ["totally different words here"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs = pd.DataFrame(
+        {"a": [base + 1, base + 1, base + 1],
+         "b": [base + 2, base + 2, base + 3]}  # duplicate pair included
+    )
+    out = verify_pairs_jaccard(ds, pairs, threshold=0.9)
+    assert out["a"].tolist() == [base + 1] and out["b"].tolist() == [base + 2]
+    assert out["a"].dtype == "int64"
