@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from log_formatter_ray.ops.dedup import _stable_hash64
 
@@ -73,3 +74,47 @@ def approx_distinct(ds, col: str) -> float:
         for row in b["sketch"].to_pylist():
             total = hll_merge(total, np.asarray(row, dtype=np.uint8))
     return hll_estimate(total)
+
+
+def approx_distinct_per_key(ds, key: str, col: str):
+    """Per-``key`` approximate COUNT(DISTINCT col) → Dataset (key,
+    approx_n:int64).
+
+    Fully distributed sketch merging: each block emits one 4 KB HLL per
+    (block × key) — the partial-aggregation pattern with a mergeable
+    sketch as the accumulator — and a groupby over the KEY max-merges the
+    registers.  Only sketches shuffle (|keys per block| × 4 KB per block),
+    never the values; a hot key costs |blocks| sketch rows, not its row
+    count."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch[key])
+        sorted_keys = batch[key].combine_chunks().take(idx)
+        vals = batch[col].combine_chunks().take(idx).to_numpy(zero_copy_only=False)
+        karr = sorted_keys.to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(karr[1:] != karr[:-1]) + 1
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, len(karr)]
+        regs = np.stack(
+            [hll_sketch(vals[s:e]) for s, e in zip(starts, ends)]
+        ) if len(karr) else np.zeros((0, _M), np.uint8)
+        offsets = np.arange(len(starts) + 1, dtype=np.int32) * _M
+        sketches = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(regs.reshape(-1), pa.uint8())
+        )
+        return pa.table(
+            {key: sorted_keys.take(pa.array(starts)), "sketch": sketches}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack(g["sketch"].to_numpy()).astype(np.uint8).max(axis=0)
+        return pd.DataFrame(
+            {key: [g[key].iloc[0]], "approx_n": [int(round(hll_estimate(regs)))]}
+        )
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

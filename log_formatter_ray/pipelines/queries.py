@@ -297,6 +297,16 @@ def q_approx_distinct_users(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([int(round(est))], pa.int64())})
 
 
+def q_approx_users_per_type(sf_dir: str):
+    """Per-key HLL (distributed sketch merge through a groupby — only 4 KB
+    sketches shuffle); approximate by design → rows-only, tolerance-tested
+    against exact counts in tests."""
+    from log_formatter_ray.ops.sketch import approx_distinct_per_key
+
+    ds = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_per_key(ds, "event_type", "user_id")
+
+
 def q_route_events(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
     router = Router(
@@ -1163,6 +1173,7 @@ QUERIES = {
     "top_terms_per_lang": q_top_terms_per_lang,
     "ann_multi_top5": q_ann_multi_top5,
     "approx_distinct_users": q_approx_distinct_users,
+    "approx_users_per_type": q_approx_users_per_type,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
     "tpch_q1_style": q_tpch_q1_style,

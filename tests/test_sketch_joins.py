@@ -114,3 +114,30 @@ def test_range_count_join_matches_pandas():
         exp.append(len(m))
     assert got["n_in_range"].tolist() == exp
     assert got["event_id"].dtype == "int64"
+
+
+def test_approx_distinct_per_key_within_tolerance():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import approx_distinct_per_key
+
+    rng = np.random.default_rng(2)
+    kinds = np.array(["a", "b", "c"], dtype=object)
+    keys = kinds[rng.integers(0, 3, 30_000)]
+    # distinct cardinalities differ per key
+    vals = np.where(
+        keys == "a", rng.integers(0, 500, 30_000),
+        np.where(keys == "b", rng.integers(0, 5_000, 30_000),
+                 rng.integers(0, 50, 30_000)),
+    )
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())})
+    got = (
+        approx_distinct_per_key(rd.from_arrow(t).repartition(6), "k", "v")
+        .to_pandas().set_index("k")["approx_n"]
+    )
+    import pandas as pd
+    df = t.to_pandas()
+    for k, exact in df.groupby("k")["v"].nunique().items():
+        assert abs(got[k] - exact) / exact < 0.06, (k, got[k], exact)
