@@ -69,29 +69,42 @@ def _add_content_hash(text_col: str, out_col: str):
     return fn
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                coarse: int = 1024):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
-    Hash-collision-safe: groups are formed on the 64-bit hash (uniform
-    shuffle key), but the keeper is chosen per *actual* content within the
-    group.
+    Hash-collision-safe: the shuffle key is a COARSE partition of the
+    64-bit content hash (uniform by construction, no text-key skew), and
+    the keeper is chosen per *actual* content: one vectorized
+    sort + drop_duplicates over each partition (``drop_duplicates`` keeps
+    the WHOLE min-id row — a per-column ``.first()`` would splice fields
+    from dropped duplicates).  Grouping by the raw hash instead would make
+    one pandas group call per distinct document — per-group Python
+    overhead dominating at corpus scale.
+
+    Null texts dedupe to one kept row, matching SQL ``GROUP BY text``
+    (which groups NULLs together).
     """
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        vals = batch[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _stable_hash64(vals)
+        batch = batch.append_column("_h", pa.array(h.astype(np.int64)))
+        return batch.append_column(
+            "_part", pa.array((h % np.uint64(coarse)).astype(np.int32))
+        )
+
     hashed = ds.map_batches(
-        _add_content_hash(text_col, "_h"),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        add_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # head(1) keeps the WHOLE min-id row; .first() would take the first
-        # non-null value per column, splicing fields from dropped duplicates.
-        return (
-            group.sort_values(id_col)
-            .groupby(text_col, sort=False, group_keys=False)
-            .head(1)
+        return group.sort_values(["_h", text_col, id_col]).drop_duplicates(
+            ["_h", text_col]
         )
 
-    out = hashed.groupby("_h").map_groups(keep_first, batch_format="pandas")
-    return out.drop_columns(["_h"])
+    out = hashed.groupby("_part").map_groups(keep_first, batch_format="pandas")
+    return out.drop_columns(["_h", "_part"])
 
 
 # ---------------------------------------------------------------------------
