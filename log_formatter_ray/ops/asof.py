@@ -1,14 +1,16 @@
 """As-of join — a custom operator Ray Data does not ship.
 
 Composition (the documented escape hatch): pad both sides to a common
-schema, tag, union, shuffle ONCE by the join key, and run
-``pd.merge_asof`` inside each sorted group.
+schema, tag, union, shuffle ONCE by a coarse hash of the join key, and run
+ONE vectorized ``pd.merge_asof(by=key)`` per partition — every key of the
+partition is matched in that single C-level call (grouping by the raw key
+would cost one pandas call per key).
 
-Partitioning assumption (stated per the build contract): one group = one
-key's full history on both sides, which must fit in a worker — true for
-per-user/per-entity event streams; salt by coarse time range into
-(key, epoch-bucket) with boundary overlap if a single key's history
-exceeds worker memory.
+Partitioning assumption (stated per the build contract): one partition =
+its keys' full history on both sides, which must fit in a worker — true
+for per-user/per-entity event streams (``coarse`` spreads keys uniformly);
+salt by coarse time range into (key, epoch-bucket) with boundary overlap
+if a single key's history exceeds worker memory.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ def asof_join(
     right_value_cols: list[str],
     suffix: str = "_right",
     direction: str = "backward",
+    coarse: int = 1024,
 ):
     """For every left row, attach the nearest right row (same ``by`` key;
     ``right.on <= left.on`` for direction="backward") — e.g. "the most
@@ -47,6 +50,8 @@ def asof_join(
 
     def pad(side: str, keep: list[str], types_other: dict):
         def fn(batch: pa.Table) -> pa.Table:
+            from log_formatter_ray.ops._shuffle import hash_part
+
             n = len(batch)
             out = {}
             for c in all_cols:
@@ -56,6 +61,12 @@ def asof_join(
                     t = ltypes.get(c) or types_other.get(c) or pa.string()
                     out[c] = pa.nulls(n, t)
             out["_side"] = pa.array([side] * n)
+            out["_part"] = pa.array(
+                hash_part(
+                    batch[by].combine_chunks().to_numpy(zero_copy_only=False),
+                    coarse,
+                )
+            )
             return pa.table(out)
 
         return fn
@@ -89,12 +100,14 @@ def asof_join(
         left_all = group.loc[group["_side"] == "L", left_cols]
         for c in left_int_cols:
             left_all[c] = left_all[c].astype("Int64")
-        # left-join contract: null-`on` rows can never match but must
-        # SURVIVE with null match columns (the oracle keeps them too).
-        # Pad them to the FULL output schema so every group returns
+        # left-join contract: null-`on` (or null-`by`) rows can never match
+        # but must SURVIVE with null match columns (the oracle keeps them
+        # too).  Pad them to the FULL output schema so every group returns
         # identical columns (a group whose left rows are all null-ts would
-        # otherwise emit a narrower frame).
-        null_on = left_all[left_all[on].isna()].copy()
+        # otherwise emit a narrower frame).  merge_asof refuses null keys,
+        # so they must be split out, not passed through.
+        no_match = left_all[on].isna() | left_all[by].isna()
+        null_on = left_all[no_match].copy()
         if not null_on.empty:
             null_on[on_r] = null_on[on]  # all-null, correctly typed
             for c, oc in zip(right_value_cols, value_out_cols):
@@ -102,11 +115,11 @@ def asof_join(
                     # reindex of an empty slice keeps the dtype where it can
                     # (upcasting int→float exactly like an unmatched merge row)
                     null_on[oc] = group[c].iloc[0:0].reindex(null_on.index)
-        left = left_all.dropna(subset=[on]).sort_values(on)
+        left = left_all[~no_match].sort_values(on, kind="stable")
         right = (
             group.loc[group["_side"] == "R", right_keep]
-            .dropna(subset=[on])
-            .sort_values(on)
+            .dropna(subset=[on, by])
+            .sort_values(on, kind="stable")
         )
         if left.empty and null_on.empty:
             return left_all.iloc[0:0].reindex(columns=expected_cols)
@@ -132,4 +145,6 @@ def asof_join(
                 out[c] = out[c].astype("int64")
         return out
 
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    # one coarse-hash shuffle; ``pd.merge_asof(by=...)`` serves every key of
+    # a partition in ONE vectorized call (no per-key Python)
+    return unioned.groupby("_part").map_groups(per_key, batch_format="pandas")

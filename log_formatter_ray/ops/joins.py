@@ -130,16 +130,22 @@ def range_count_join(
     e.g. "events by the same user within 5 minutes after each error".
 
     Composition: pad both sides to a common schema, tag, union, shuffle
-    ONCE by the join key, then one ``np.searchsorted`` pair per group (the
-    right side is sorted once per key; every left bound lookup is
-    O(log n) — no pairwise expansion, so a hot key costs n log n, not n²).
+    ONCE by a COARSE hash of the join key, then count via two vectorized
+    ``pd.merge_asof(by=key)`` rank lookups per partition — rank(bound) =
+    per-key running index of the last right row ≤ bound, so count =
+    rank(hi) − rank(lo).  Every key of a partition is served by those two
+    C-level calls: no per-key Python, no pairwise expansion (a hot key
+    costs n log n, not n²).
 
-    Partitioning assumption (stated per the build contract): one group =
-    one key's rows from both sides, which must fit in a worker — true for
-    per-user/per-entity event streams; salt into (key, coarse-time-bucket)
-    with ±hi_s boundary overlap if a single key's history exceeds memory.
+    Partitioning assumption (stated per the build contract): one partition
+    = its keys' rows from both sides, which must fit in a worker — true
+    for per-user/per-entity event streams; salt into (key,
+    coarse-time-bucket) with ±hi_s boundary overlap if a single key's
+    history exceeds memory.
     """
     import pandas as pd
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
 
     lschema = left_ds.schema()
     left_cols = list(lschema.names)
@@ -157,6 +163,12 @@ def range_count_join(
                 else:
                     out[c] = pa.nulls(n, ltypes.get(c) or rtypes.get(c))
             out["_side"] = pa.array([side] * n)
+            out[PART_COL] = pa.array(
+                hash_part(
+                    batch[by].combine_chunks().to_numpy(zero_copy_only=False),
+                    1024,
+                )
+            )
             return pa.table(out)
 
         return fn
@@ -171,25 +183,41 @@ def range_count_join(
         )
     )
 
-    lo_ns = np.int64(round(lo_s * 1e9))
-    hi_ns = np.int64(round(hi_s * 1e9))
     left_int_cols = [c for c in left_cols if pa.types.is_integer(ltypes[c])]
 
-    def per_key(group: "pd.DataFrame") -> "pd.DataFrame":
+    def per_part(group: "pd.DataFrame") -> "pd.DataFrame":
         left = group.loc[group["_side"] == "L", left_cols]
-        rts = group.loc[group["_side"] == "R", on].dropna().to_numpy()
-        rts = np.sort(rts.astype("datetime64[ns]").view(np.int64))
-        lts = left[on].to_numpy().astype("datetime64[ns]").view(np.int64)
-        valid = left[on].notna().to_numpy()
-        lo = np.searchsorted(rts, lts + lo_ns, side="right")
-        hi = np.searchsorted(rts, lts + hi_ns, side="right")
+        right = group.loc[group["_side"] == "R", [by, on]].dropna()
         out = left.copy()
-        counts = (hi - lo).astype(np.int64)
-        counts[~valid] = 0  # null left timestamps match nothing
+        counts = np.zeros(len(left), dtype=np.int64)
+        valid = (left[on].notna() & left[by].notna()).to_numpy()
+        if len(right) and valid.any():
+            right = right.sort_values([by, on], kind="stable")
+            right["_ridx"] = right.groupby(by, sort=False).cumcount()
+            right = right.sort_values(on, kind="stable")
+            lv = left.loc[valid, [by, on]].copy()
+            ts_dtype = right[on].dtype  # keep the merge keys' unit identical
+            lv["_lo"] = (lv[on] + pd.Timedelta(seconds=lo_s)).astype(ts_dtype)
+            lv["_hi"] = (lv[on] + pd.Timedelta(seconds=hi_s)).astype(ts_dtype)
+            lv["_row"] = np.arange(len(lv))
+            ranks = {}
+            for bound in ("_lo", "_hi"):
+                m = pd.merge_asof(
+                    lv.sort_values(bound, kind="stable")[[by, bound, "_row"]],
+                    right[[by, on, "_ridx"]],
+                    left_on=bound,
+                    right_on=on,
+                    by=by,
+                    direction="backward",
+                )
+                ranks[bound] = (
+                    m.sort_values("_row")["_ridx"].fillna(-1).to_numpy(np.int64)
+                )
+            counts[valid] = ranks["_hi"] - ranks["_lo"]
         out[count_alias] = counts
         for c in left_int_cols:
             if not out[c].isna().any():
                 out[c] = out[c].astype("int64")
         return out
 
-    return unioned.groupby(by).map_groups(per_key, batch_format="pandas")
+    return unioned.groupby(PART_COL).map_groups(per_part, batch_format="pandas")

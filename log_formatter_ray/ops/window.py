@@ -128,19 +128,32 @@ def topk_per_group(
     k: int = 3,
     descending: bool = True,
     tiebreak_cols: list[str] | None = None,
+    coarse: int = 512,
 ):
     """Top-k rows per group by ``order_col`` with deterministic tie-break
-    (``tiebreak_cols`` ascending).  Shuffles by ``group_keys`` only."""
+    (``tiebreak_cols`` ascending).  Shuffles by a coarse hash of
+    ``group_keys``; inside each partition one vectorized
+    sort + ``groupby().head(k)`` serves ALL its groups (no per-group
+    Python)."""
+    from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
+
     tiebreak_cols = tiebreak_cols or []
+    tagged = add_coarse_part(ds, list(group_keys), coarse)
 
-    def head(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            [order_col, *tiebreak_cols],
-            ascending=[not descending] + [True] * len(tiebreak_cols),
+    def head(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            [*group_keys, order_col, *tiebreak_cols],
+            ascending=[True] * len(group_keys)
+            + [not descending]
+            + [True] * len(tiebreak_cols),
         )
-        return g.head(k)
+        return (
+            g.groupby(list(group_keys), sort=False, group_keys=False)
+            .head(k)
+            .drop(columns=[PART_COL])
+        )
 
-    return ds.groupby(group_keys).map_groups(head, batch_format="pandas")
+    return tagged.groupby(PART_COL).map_groups(head, batch_format="pandas")
 
 
 def running_sequence_numbers(
@@ -149,19 +162,24 @@ def running_sequence_numbers(
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_col: str = "k",
+    coarse: int = 1024,
 ):
     """Ordered per-key processing: 1-based sequence number of each row
     within its key's timeline (ROW_NUMBER() OVER (PARTITION BY key
-    ORDER BY ts, id)).  Shuffles by key once; ordering is per group —
+    ORDER BY ts, id)).  One coarse-hash shuffle; sequence numbers come
+    from one vectorized sort + ``groupby().cumcount()`` per partition —
     exactly the ordered-log assumption of stream processing on a batch
-    engine."""
+    engine, without per-key Python."""
+    from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, id_col]).copy()
-        g[out_col] = range(1, len(g) + 1)
-        return g
+    tagged = add_coarse_part(ds, [key], coarse)
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([key, ts_col, id_col]).copy()
+        g[out_col] = g.groupby(key, sort=False).cumcount() + 1
+        return g.drop(columns=[PART_COL])
+
+    return tagged.groupby(PART_COL).map_groups(per_part, batch_format="pandas")
 
 
 def session_windows(
@@ -170,29 +188,39 @@ def session_windows(
     ts_col: str = "ts",
     gap_s: float = 1800.0,
     value_col: str | None = "value",
+    coarse: int = 1024,
 ):
     """Per-key session windows (new session when the inter-event gap exceeds
     ``gap_s``); returns one row per session: key, session_start, session_end,
-    n_events[, sum_<value_col>]."""
+    n_events[, sum_<value_col>].
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_col)
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(float("inf"))
-        session_id = (gaps > gap_s).cumsum()
-        agg = {ts_col: ["min", "max", "count"]}
+    Coarse-hash shuffle; session boundaries for ALL keys of a partition
+    come from one vectorized pass (key-change OR gap flag → cumsum →
+    pandas groupby agg)."""
+    from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
+
+    tagged = add_coarse_part(ds, [key], coarse)
+
+    def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values([key, ts_col])
+        new_key = g[key].ne(g[key].shift())
+        gaps = g[ts_col].diff().dt.total_seconds()
+        sid = (new_key | (gaps > gap_s)).cumsum()
+        named = {
+            "session_start": (ts_col, "min"),
+            "session_end": (ts_col, "max"),
+            "n_events": (ts_col, "count"),
+        }
         if value_col:
-            agg[value_col] = "sum"
-        out = g.groupby(session_id).agg(agg)
-        res = pd.DataFrame(
-            {
-                key: group[key].iloc[0],
-                "session_start": out[(ts_col, "min")],
-                "session_end": out[(ts_col, "max")],
-                "n_events": out[(ts_col, "count")].astype("int64"),
-            }
+            named[f"sum_{value_col}"] = (value_col, "sum")
+        res = (
+            g.assign(_sid=sid)
+            .groupby([key, "_sid"], sort=False)
+            .agg(**named)
+            .reset_index()
+            .drop(columns=["_sid"])
         )
-        if value_col:
-            res[f"sum_{value_col}"] = out[(value_col, "sum")].to_numpy()
-        return res.reset_index(drop=True)
+        res["n_events"] = res["n_events"].astype("int64")
+        return res
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return tagged.groupby(PART_COL).map_groups(per_part, batch_format="pandas")
