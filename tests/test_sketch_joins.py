@@ -141,3 +141,39 @@ def test_approx_distinct_per_key_within_tolerance():
     df = t.to_pandas()
     for k, exact in df.groupby("k")["v"].nunique().items():
         assert abs(got[k] - exact) / exact < 0.06, (k, got[k], exact)
+
+
+def test_range_count_join_with_nulls_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.joins import range_count_join
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ts_vals = (rng.integers(0, 5_000, n) * 1_000_000).astype("datetime64[us]")
+    ts_mask = rng.random(n) < 0.1  # 10% null timestamps
+    ts = pa.array(ts_vals, mask=ts_mask)
+    users = pa.array([f"u{int(i)}" for i in rng.integers(0, 12, n)])
+    ev = pa.table(
+        {"event_id": pa.array(range(n), pa.int64()), "user_id": users, "ts": ts}
+    )
+    left = rd.from_arrow(ev.slice(0, 80))
+    right = rd.from_arrow(ev)
+    got = (
+        range_count_join(left, right, by="user_id", on="ts", lo_s=0, hi_s=600)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    df = ev.to_pandas()
+    exp = []
+    for _, a in df.head(80).iterrows():
+        if pd.isna(a.ts):
+            exp.append(0)
+            continue
+        m = df[(df.user_id == a.user_id) & df.ts.notna()
+               & (df.ts > a.ts)
+               & (df.ts <= a.ts + pd.Timedelta(seconds=600))]
+        exp.append(len(m))
+    assert got["n_in_range"].tolist() == exp
