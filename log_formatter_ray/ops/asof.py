@@ -109,7 +109,10 @@ def asof_join(
         no_match = left_all[on].isna() | left_all[by].isna()
         null_on = left_all[no_match].copy()
         if not null_on.empty:
-            null_on[on_r] = null_on[on]  # all-null, correctly typed
+            # on_r must be NULL for every unmatchable row — including
+            # null-BY rows whose own `on` is valid (where() keeps the
+            # dtype while nulling everything that isn't already null)
+            null_on[on_r] = null_on[on].where(null_on[on].isna())
             for c, oc in zip(right_value_cols, value_out_cols):
                 if oc not in null_on.columns:
                     # reindex of an empty slice keeps the dtype where it can

@@ -60,15 +60,6 @@ def _stable_hash64(values) -> np.ndarray:
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def _add_content_hash(text_col: str, out_col: str):
-    def fn(batch: pa.Table) -> pa.Table:
-        vals = batch[text_col].combine_chunks().to_numpy(zero_copy_only=False)
-        h = _stable_hash64(vals)
-        return batch.append_column(out_col, pa.array(h.astype(np.int64)))
-
-    return fn
-
-
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 coarse: int = 1024):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.

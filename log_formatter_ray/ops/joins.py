@@ -124,6 +124,7 @@ def range_count_join(
     lo_s: float,
     hi_s: float,
     count_alias: str = "n_in_range",
+    coarse: int = 1024,
 ):
     """For every left row, COUNT right rows with the same ``by`` key and
     ``on`` in the half-open window (left.on + lo_s, left.on + hi_s] —
@@ -166,7 +167,7 @@ def range_count_join(
             out[PART_COL] = pa.array(
                 hash_part(
                     batch[by].combine_chunks().to_numpy(zero_copy_only=False),
-                    1024,
+                    coarse,
                 )
             )
             return pa.table(out)

@@ -89,6 +89,15 @@ def approx_distinct_per_key(ds, key: str, col: str):
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key: batch[key].combine_chunks(),
+                    "sketch": pa.ListArray.from_arrays(
+                        pa.array([0], pa.int32()), pa.array([], pa.uint8())
+                    ),
+                }
+            )
         idx = pc.sort_indices(batch[key])
         sorted_keys = batch[key].combine_chunks().take(idx)
         vals = batch[col].combine_chunks().take(idx).to_numpy(zero_copy_only=False)

@@ -148,7 +148,10 @@ def topk_per_group(
             + [True] * len(tiebreak_cols),
         )
         return (
-            g.groupby(list(group_keys), sort=False, group_keys=False)
+            # dropna=False: a null group key is a real group (SQL PARTITION
+            # BY keeps the NULL partition; Ray's own groupby did too)
+            g.groupby(list(group_keys), sort=False, group_keys=False,
+                      dropna=False)
             .head(k)
             .drop(columns=[PART_COL])
         )
@@ -176,7 +179,9 @@ def running_sequence_numbers(
 
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
         g = part.sort_values([key, ts_col, id_col]).copy()
-        g[out_col] = g.groupby(key, sort=False).cumcount() + 1
+        # dropna=False keeps the null-key partition numbered (and keeps
+        # the sequence column int64 — NaN would float64-upcast it)
+        g[out_col] = g.groupby(key, sort=False, dropna=False).cumcount() + 1
         return g.drop(columns=[PART_COL])
 
     return tagged.groupby(PART_COL).map_groups(per_part, batch_format="pandas")
@@ -202,10 +207,16 @@ def session_windows(
     tagged = add_coarse_part(ds, [key], coarse)
 
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         g = part.sort_values([key, ts_col])
-        new_key = g[key].ne(g[key].shift())
-        gaps = g[ts_col].diff().dt.total_seconds()
-        sid = (new_key | (gaps > gap_s)).cumsum()
+        # factorize treats ALL null keys as one key (NaN != NaN would make
+        # every null row its own session); null/NaT timestamps start a new
+        # session (diff is NaN → inf), matching the per-key original
+        codes = pd.factorize(g[key], use_na_sentinel=False)[0]
+        new_key = np.r_[True, codes[1:] != codes[:-1]] if len(g) else np.zeros(0, bool)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(np.inf)
+        sid = (new_key | (gaps > gap_s).to_numpy()).cumsum()
         named = {
             "session_start": (ts_col, "min"),
             "session_end": (ts_col, "max"),
@@ -215,7 +226,7 @@ def session_windows(
             named[f"sum_{value_col}"] = (value_col, "sum")
         res = (
             g.assign(_sid=sid)
-            .groupby([key, "_sid"], sort=False)
+            .groupby([key, "_sid"], sort=False, dropna=False)
             .agg(**named)
             .reset_index()
             .drop(columns=["_sid"])

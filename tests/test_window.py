@@ -194,3 +194,72 @@ def test_running_sequence_numbers(events_ds):
     # per-user sequence is 1..n
     m = got.groupby("user_id")["k"].agg(["min", "max", "count"])
     assert (m["min"] == 1).all() and (m["max"] == m["count"]).all()
+
+
+def test_keyed_ops_null_key_semantics():
+    """Null keys are real partitions (SQL PARTITION BY semantics): kept in
+    topk/running-seq/sessionize, grouped as ONE key, and never float-upcast
+    the outputs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.window import (
+        running_sequence_numbers, session_windows, topk_per_group,
+    )
+
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "user_id": pa.array(["u1", "u1", None, None, "u2", None]),
+        "ts": pa.array(
+            np.array([0, 60, 10, 20, 5, 4000], dtype="datetime64[s]").astype(
+                "datetime64[us]"
+            )
+        ),
+        "value": pa.array([1.0] * 6),
+    })
+    ds = rd.from_arrow(t)
+
+    seq = running_sequence_numbers(ds).to_pandas()
+    assert len(seq) == 6
+    assert seq["k"].dtype == "int64"
+    null_rows = seq[seq["user_id"].isna()].sort_values("ts")
+    assert null_rows["k"].tolist() == [1, 2, 3]  # one null-key partition
+
+    sess = session_windows(ds, gap_s=1800.0).to_pandas()
+    nt = sess[sess["user_id"].isna()]
+    assert len(nt) == 2  # [10s,20s] and [4000s] sessions
+    assert sorted(nt["n_events"].tolist()) == [1, 2]
+
+    counts = pa.table({
+        "user_id": pa.array(["u1", None, "u2"]),
+        "n": pa.array([5, 9, 2], pa.int64()),
+    })
+    top = topk_per_group(rd.from_arrow(counts), ["user_id"], "n", k=1).to_pandas()
+    assert len(top) == 3  # the null group survives
+
+
+def test_asof_join_null_by_key_unmatched():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.asof import asof_join
+
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([None, "u1"]),
+        "ts": pa.array([100, 200], pa.timestamp("us")),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array(["u1"]),
+        "ts": pa.array([50], pa.timestamp("us")),
+        "value": pa.array([3.0]),
+    }))
+    got = (
+        asof_join(left, right, by="user_id", on="ts", right_value_cols=["value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert len(got) == 2
+    # null-by row: unmatched, ts_right must be NULL (not its own ts)
+    assert got.loc[0, ["ts_right", "value"]].isna().all()
+    assert got.loc[1, "value"] == 3.0
