@@ -97,3 +97,13 @@ def test_ivf_partitioned_search_reads_only_probed_dirs(emb_table, tmp_path):
     # narrow probe returns k hits from probed partitions only
     narrow = idx.search_partitioned(root, q, k=5, nprobe=2)
     assert len(narrow) == 5
+
+
+def test_ivf_search_partitioned_all_probed_clusters_empty(tmp_path):
+    """If every probed cluster directory is missing/empty, the search
+    returns an empty typed frame instead of crashing."""
+    idx = IVFIndex(n_clusters=4, iters=1)
+    idx.centroids = np.eye(4, 8, dtype=np.float64)  # fitted-by-hand
+    out = idx.search_partitioned(str(tmp_path / "nowhere"), np.ones(8), k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_idx", "vec_id", "cos", "rank"]

@@ -124,3 +124,44 @@ def test_strict_mode_drops_malformed(corpus_dir, tmp_path):
     for m in res.manifests.values():
         sinks.update(m.sink_counts)
     assert "sink_quarantine" not in sinks
+
+
+def test_flagship_actor_pool_enrich_matches_tasks(corpus_dir, tmp_path):
+    """enrich_mode='actors' (actor-pool LookupEnricher) must produce the
+    same counts as the default elastic-task mode."""
+    from log_formatter_ray.pipelines.flagship import run_flagship
+
+    a = run_flagship(corpus_dir, str(tmp_path / "t"), enrich_mode="tasks")
+    b = run_flagship(
+        corpus_dir, str(tmp_path / "a"), enrich_mode="actors",
+        enrich_concurrency=(1, 2),
+    )
+    assert a.counts.equals(b.counts)
+
+
+def test_flagship_extreme_source_skew(tmp_path):
+    """All rows share ONE source (the worst hot key): partial aggregation
+    must keep the run healthy and the counts exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from log_formatter_ray.fixtures import make_sequences_batch
+    from log_formatter_ray.pipelines.flagship import run_flagship
+
+    src = tmp_path / "skew"
+    src.mkdir()
+    total = 0
+    for i in range(4):
+        t = make_sequences_batch(2000, start_row=i * 2000)
+        n = len(t)
+        t = t.set_column(
+            t.column_names.index("source"), "source",
+            pa.array(["web"] * n, pa.string()),
+        )
+        total += n
+        pq2.write_table(t, str(src / f"part-{i:05d}.parquet"))
+    res = run_flagship(str(src), str(tmp_path / "out"))
+    assert res.rows_in == res.rows_routed == total
+    df = res.counts.to_pandas()
+    assert set(df["source"]) == {"web"}
+    assert df["n"].sum() == total
