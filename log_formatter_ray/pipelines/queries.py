@@ -60,8 +60,11 @@ def q_flagship_documents(sf_dir: str):
         components_regex=r"^src(?P<src_num>\d+)$",
         target_field="source",
         casts={"src_num": pa.int64()},
+        error_tolerant=True,  # a regex miss nulls the field; SQL keeps the row
     )
     ds = ds.map_batches(parser, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # the broadcast lookup enumerates src0..src999 — the SQL encodes the
+    # SAME bound so the contract is visible on both sides
     lookup = pa.table(
         {
             "source": pa.array([f"src{i}" for i in range(1000)]),
@@ -69,7 +72,8 @@ def q_flagship_documents(sf_dir: str):
         }
     )
     ds = ds.map_batches(
-        LookupEnricher(ray.put(lookup), key="source"), batch_format="pyarrow", batch_size=None
+        LookupEnricher(ray.put(lookup), key="source"), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True
     )
     router = Router(
         rules=(
@@ -85,11 +89,13 @@ def q_flagship_documents(sf_dir: str):
 _SQL_FLAGSHIP_DOCUMENTS = """
 SELECT sink, source, COUNT(*) AS n FROM (
   SELECT source,
-         CASE WHEN CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT) % 3 = 0
-                THEN 'sink_premium'
+         CASE WHEN src_num % 3 = 0 AND src_num < 1000 THEN 'sink_premium'
               WHEN n_chars >= 400 THEN 'sink_long'
               ELSE 'sink_standard' END AS sink
-  FROM documents)
+  FROM (SELECT source, n_chars,
+               CAST(NULLIF(regexp_extract(source, '^src(\\d+)$', 1), '') AS BIGINT)
+                 AS src_num
+        FROM documents))
 GROUP BY sink, source
 """
 
@@ -104,6 +110,7 @@ def q_parse_events_props(sf_dir: str):
         components_regex=r'"k": (?P<k>\d+)',
         target_field="props",
         casts={"k": pa.int64()},
+        error_tolerant=True,  # miss -> null k; SUM ignores it on both sides
     )
     ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["event_type"], count_alias="n", sum_cols={"k": "sum_k"})
@@ -111,7 +118,7 @@ def q_parse_events_props(sf_dir: str):
 
 _SQL_PARSE_EVENTS_PROPS = """
 SELECT event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k": (\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -122,6 +129,7 @@ def q_parse_documents_source(sf_dir: str):
         components_regex=r"^src(?P<src_num>\d+)$",
         target_field="source",
         casts={"src_num": pa.int64()},
+        error_tolerant=True,
     )
     ds = ds.map_batches(parser, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return grouped_count(ds, ["lang"], count_alias="n", sum_cols={"src_num": "sum_src"})
@@ -129,7 +137,7 @@ def q_parse_documents_source(sf_dir: str):
 
 _SQL_PARSE_DOCUMENTS_SOURCE = """
 SELECT lang, COUNT(*) AS n,
-       CAST(SUM(CAST(regexp_extract(source, '^src(\\d+)$', 1) AS BIGINT)) AS BIGINT) AS sum_src
+       CAST(SUM(CAST(NULLIF(regexp_extract(source, '^src(\\d+)$', 1), '') AS BIGINT)) AS BIGINT) AS sum_src
 FROM documents GROUP BY lang
 """
 
@@ -143,7 +151,8 @@ def q_filter_project_lineitem(sf_dir: str):
         sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_quantity"]
     )
     ds = ds.map_batches(
-        lambda t: t.filter(pc.less(t["l_quantity"], 25.0)), batch_format="pyarrow", batch_size=None
+        lambda t: t.filter(pc.less(t["l_quantity"], 25.0)), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True
     )
     f = FieldFilter(include_fields=(r"^l_(orderkey|partkey|quantity)$",))
     return f.apply(ds)
@@ -175,7 +184,8 @@ def q_enrich_customer_nation(sf_dir: str):
     )
     ds = _tbl(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     ds = ds.map_batches(
-        LookupEnricher(ray.put(lookup), key="c_nationkey"), batch_format="pyarrow", batch_size=None
+        LookupEnricher(ray.put(lookup), key="c_nationkey"), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True
     )
     return grouped_count(ds, ["r_name", "n_name"], count_alias="n_customers")
 
@@ -261,7 +271,12 @@ def q_asof_join_events(sf_dir: str):
     same user (DuckDB has native ASOF JOIN for the oracle)."""
     from log_formatter_ray.ops.asof import asof_join
 
-    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    # ev feeds BOTH branches: materialize the projected table once so the
+    # union doesn't decode the parquet twice (Dataset re-executes per consumer)
+    ev = _tbl(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).materialize()
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
             ["event_id", "user_id", "ts"]
@@ -373,7 +388,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 def q_distinct_langs(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["lang"])
-    vals = sorted(ds.unique("lang"))
+    # None-safe sort: a null lang is a legal DISTINCT value (SQL keeps it)
+    vals = sorted(ds.unique("lang"), key=lambda x: (x is None, x or ""))
     return pa.table({"lang": pa.array(vals, pa.string())})
 
 
@@ -636,7 +652,7 @@ FROM events
 
 
 def q_sessionize_events(sf_dir: str):
-    ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
     out = session_windows(ds, gap_s=1800.0, value_col=None)
     return out.select_columns(["user_id", "session_start", "session_end", "n_events"])
 
@@ -751,7 +767,9 @@ def q_range_join_events(sf_dir: str):
     by key + searchsorted per group — no pairwise expansion)."""
     from log_formatter_ray.ops.joins import range_count_join
 
-    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    ev = _tbl(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
+    ).materialize()  # consumed by both branches below
     errors = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
             ["event_id", "user_id", "ts"]
@@ -790,7 +808,10 @@ def q_median_chars_per_lang(sf_dir: str):
     counts = grouped_count(ds, ["lang", "n_chars"], count_alias="cnt")
 
     def med(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("n_chars")
+        lang = g["lang"].iloc[0]
+        g = g[g["n_chars"].notna()].sort_values("n_chars")
+        if not len(g):  # all-null group: SQL median(NULLs) is NULL
+            return pd.DataFrame({"lang": [lang], "med_chars": [float("nan")]})
         c = g["cnt"].to_numpy(np.int64)
         v = g["n_chars"].to_numpy(np.float64)
         total = int(c.sum())
@@ -802,7 +823,7 @@ def q_median_chars_per_lang(sf_dir: str):
                 float(v[np.searchsorted(cum, total // 2)])
                 + float(v[np.searchsorted(cum, total // 2 + 1)])
             ) / 2.0
-        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "med_chars": [m]})
+        return pd.DataFrame({"lang": [lang], "med_chars": [m]})
 
     return counts.groupby("lang").map_groups(med, batch_format="pandas")
 
@@ -833,7 +854,11 @@ def q_top_terms_per_lang(sf_dir: str):
         )
         t = pa.table({"lang": lang_rep, "word": words.flatten()})
         agg = t.group_by(["lang", "word"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["lang", "word", "n"])
+        # rename by NAME — pyarrow versions differ on whether keys or
+        # aggregates come first in the group_by output
+        return agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names]
+        )
 
     partials = ds.map_batches(
         word_counts, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -932,7 +957,10 @@ def q_ivf_ann_top10(sf_dir: str):
     q0 = _query_vector(sf_dir, 0)
     idx = IVFIndex(n_clusters=16, iters=5).fit(ds)
     assigned = idx.assign(ds)
-    out = idx.search(assigned, q0, k=10, nprobe=8)
+    # +1 overfetch then drop the query vector itself, mirroring
+    # q_ann_top10's exclude_ids={0}
+    out = idx.search(assigned, q0, k=11, nprobe=8)
+    out = out[out["vec_id"] != 0].head(10)
     return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
 
 
@@ -957,10 +985,16 @@ def q_flagship_sequences(sf_dir: str):
     from log_formatter_ray.fixtures import generate_sequences
     from log_formatter_ray.pipelines.flagship import run_flagship
 
+    import shutil
+
     corpus, rows = sequences_dir_for(sf_dir)
     generate_sequences(corpus, rows, num_files=16)
-    out = tempfile.mkdtemp(prefix="lfr_flagship_")
-    res = run_flagship(corpus, out)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="lfr_flagship_", dir=base)
+    try:
+        res = run_flagship(corpus, out)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)  # only counts leave this query
     return res.counts
 
 
@@ -1005,7 +1039,7 @@ def q_chunk_sequences(sf_dir: str):
     ds = _sequences_ds(sf_dir)
     out = ds.map_batches(
         lambda b: chunk_sequences(b, max_len=512),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).select_columns(["n_tok"]).materialize()  # count+sum: one execution
     return pa.table(
         {
@@ -1021,7 +1055,7 @@ def q_pack_sequences(sf_dir: str):
     ds = _sequences_ds(sf_dir)
     out = ds.map_batches(
         lambda b: pack_sequences(b, context_len=2048),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     stats = out.select_columns(["n_tok", "n_seqs"]).to_pandas()
     return pa.table(
@@ -1107,7 +1141,7 @@ def q_pack_sequences_stats(sf_dir: str):
     ds = _sequences_ds(sf_dir)
     out = ds.map_batches(
         lambda b: pack_sequences(b, context_len=2048),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     ).select_columns(["n_tok", "n_seqs"]).materialize()
     return pa.table(
         {
