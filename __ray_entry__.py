@@ -29,9 +29,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # numpy) so the DuckDB oracles that read it by path work no matter
     # whether the driver runs the SQL or the Ray query first.
     try:
-        from log_formatter_ray.pipelines.queries import ORACLE_SF_DIR
+        from log_formatter_ray.pipelines.queries import oracle_sf_dir
 
-        corpus, rows = sequences_dir_for(ORACLE_SF_DIR)
+        corpus, rows = sequences_dir_for(oracle_sf_dir())
         generate_sequences(corpus, rows, num_files=16)
     except Exception:  # noqa: BLE001 — queries() must never fail on pregen
         pass
@@ -41,8 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (the rest —
-    minhash/simhash/langid/embedding LSH/IVF/flagship-sequences/media — get
-    the driver's rows-only check)."""
-    from log_formatter_ray.pipelines.queries import ORACLE_SQL
+    minhash/simhash/embedding LSH/pruned IVF/media — get the driver's
+    rows-only check).  The sequences-corpus globs are resolved at CALL
+    time for the gate's sf dir, never frozen at import."""
+    from log_formatter_ray.pipelines.queries import oracle_sql_for
 
-    return dict(ORACLE_SQL)
+    return oracle_sql_for()

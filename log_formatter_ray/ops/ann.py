@@ -144,9 +144,20 @@ class IVFIndex:
         self.seed = seed
         self.centroids: np.ndarray | None = None
 
-    def fit(self, ds, emb_col: str = "embedding", sample_rows: int = 10_000) -> "IVFIndex":
-        """Lloyd's k-means on a driver-side sample (sample ≪ corpus)."""
-        sample = ds.limit(sample_rows).to_pandas()
+    def fit(self, ds, emb_col: str = "embedding", id_col: str = "vec_id",
+            sample_rows: int = 10_000) -> "IVFIndex":
+        """Lloyd's k-means on a driver-side sample (sample ≪ corpus).
+
+        The sample is the deterministic hash-reservoir
+        (``reservoir_top_hash``): uniform over the WHOLE corpus regardless
+        of file layout — a ``limit()`` sample would train centroids on the
+        first blocks only, silently degrading recall on a corpus laid out
+        by source/time/cluster."""
+        from log_formatter_ray.ops.sample import reservoir_top_hash
+
+        sample = reservoir_top_hash(
+            ds.select_columns([id_col, emb_col]), sample_rows, id_col=id_col
+        )
         V = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
         rng = np.random.default_rng(self.seed)
         C = V[rng.choice(len(V), size=min(self.n_clusters, len(V)), replace=False)]

@@ -483,13 +483,7 @@ def q_jaccard_near_dups(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     sims = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     cands = simhash_candidates(sims)
-    verified = verify_pairs_jaccard(ds, cands, threshold=0.8)
-    return pa.table(
-        {
-            "a": pa.array(verified["a"].tolist(), pa.int64()),
-            "b": pa.array(verified["b"].tolist(), pa.int64()),
-        }
-    )
+    return verify_pairs_jaccard(ds, cands, threshold=0.8).select_columns(["a", "b"])
 
 
 def q_token_count_documents(sf_dir: str):
@@ -734,25 +728,15 @@ def q_p95_value_per_type(sf_dir: str):
     """Grouped DISCRETE 95th percentile: the sorted element at index
     ⌈0.95·n⌉−1 — an actual data value, so both engines return the same
     float bit pattern (an interpolated quantile_cont would be a computed
-    float aggregate, which the oracle hash contract forbids; verified:
-    DuckDB's quantile_disc picks exactly this index)."""
-    import math
+    float aggregate, which the oracle hash contract forbids).
 
-    import pandas as pd
+    Scale plan: value-count partials + cumulative read-off
+    (``grouped_quantile_disc``) — a hot event_type ships |distinct values|
+    count rows, never its raw rows, so no worker ever gathers a key."""
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
 
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
-
-    def q95(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].dropna().to_numpy(np.float64))
-        idx = max(0, math.ceil(0.95 * len(v)) - 1)
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p95": [float(v[idx])] if len(v) else [float("nan")],
-            }
-        )
-
-    return ds.groupby("event_type").map_groups(q95, batch_format="pandas")
+    return grouped_quantile_disc(ds, ["event_type"], "value", 0.95, out_col="p95")
 
 
 _SQL_P95_VALUE_PER_TYPE = """
@@ -952,16 +936,30 @@ WHERE rn <= 5
 """
 
 
-def q_ivf_ann_top10(sf_dir: str):
+def _ivf_top10(sf_dir: str, nprobe: int):
     ds = _tbl(sf_dir, "embeddings")
     q0 = _query_vector(sf_dir, 0)
     idx = IVFIndex(n_clusters=16, iters=5).fit(ds)
     assigned = idx.assign(ds)
     # +1 overfetch then drop the query vector itself, mirroring
     # q_ann_top10's exclude_ids={0}
-    out = idx.search(assigned, q0, k=11, nprobe=8)
+    out = idx.search(assigned, q0, k=11, nprobe=nprobe)
     out = out[out["vec_id"] != 0].head(10)
     return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
+
+
+def q_ivf_ann_top10(sf_dir: str):
+    """Exhaustive-probe IVF (nprobe = n_clusters): probing every cluster
+    makes IVF EXACT, so this is oracle-checked against the same SQL as
+    ``ann_top10`` — the index mechanics (fit, assign, probe, within-cluster
+    brute force) all sit on the verified path."""
+    return _ivf_top10(sf_dir, nprobe=16)
+
+
+def q_ivf_ann_top10_pruned(sf_dir: str):
+    """The pruned production path (nprobe=8 of 16): approximate by design →
+    rows-only at the gate; recall/pruning invariants live in tests."""
+    return _ivf_top10(sf_dir, nprobe=8)
 
 
 # ---------------------------------------------------------------------------
@@ -1053,16 +1051,17 @@ def q_pack_sequences(sf_dir: str):
     from log_formatter_ray.ops.tokens import pack_sequences
 
     ds = _sequences_ds(sf_dir)
+    # count/sum on the materialized stats columns — never an O(n_packs)
+    # driver transfer (same plan as q_pack_sequences_stats below)
     out = ds.map_batches(
         lambda b: pack_sequences(b, context_len=2048),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    stats = out.select_columns(["n_tok", "n_seqs"]).to_pandas()
+    ).select_columns(["n_tok", "n_seqs"]).materialize()
     return pa.table(
         {
-            "n_packs": pa.array([len(stats)], pa.int64()),
-            "n_seqs": pa.array([int(stats["n_seqs"].sum())], pa.int64()),
-            "total_tokens": pa.array([int(stats["n_tok"].sum())], pa.int64()),
+            "n_packs": pa.array([out.count()], pa.int64()),
+            "n_seqs": pa.array([int(out.sum("n_seqs"))], pa.int64()),
+            "total_tokens": pa.array([int(out.sum("n_tok"))], pa.int64()),
         }
     )
 
@@ -1083,33 +1082,39 @@ def q_token_histogram_top(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Oracles over the synthetic sequences corpus: DuckDB reads the SAME parquet
-# shards the Ray pipelines read.  The oracle SQL is a static string, so the
-# glob is frozen at import for ONE sf dir — the driver's gate dir (sf0.01)
-# by default; tools/check_oracle.py exports GRAFT_ORACLE_SF_DIR before
-# importing so a self-check at another sf compares the right corpus.
-# queries() pre-generates the corpus in __ray_entry__ so either side can
-# run first.
+# shards the Ray pipelines read.  The glob depends on the sf dir, so these
+# SQLs are generated per ``sf_dir`` at ``oracle_sql_for()`` CALL time —
+# never frozen at import (an import-before-env-var caller would otherwise
+# silently compare mismatched corpora).  queries() pre-generates the corpus
+# in __ray_entry__ so either side can run first.
 # ---------------------------------------------------------------------------
 
-ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-_ORACLE_SEQ_GLOB = os.path.join(sequences_dir_for(ORACLE_SF_DIR)[0], "*.parquet")
 
-_SQL_CHUNK_SEQUENCES = f"""
+def oracle_sf_dir() -> str:
+    """The sf dir the driver's oracle gate runs at — read at CALL time so
+    callers that set GRAFT_ORACLE_SF_DIR after import still agree."""
+    return os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _seq_oracle_sql(sf_dir: str) -> dict[str, str]:
+    """The sequences-corpus oracle SQLs for one sf dir's corpus glob."""
+    seq_glob = os.path.join(sequences_dir_for(sf_dir)[0], "*.parquet")
+    return {
+        "chunk_sequences": f"""
 SELECT CAST(SUM(GREATEST(CAST(CEIL(n_tok / 512.0) AS BIGINT), 1)) AS BIGINT) AS n_chunks,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens
-FROM read_parquet('{_ORACLE_SEQ_GLOB}')
-"""
-
-_SQL_TOKEN_HISTOGRAM_TOP = f"""
+FROM read_parquet('{seq_glob}')
+""",
+        "token_histogram_top": f"""
 SELECT CAST(t AS BIGINT) AS token_id, CAST(COUNT(*) AS BIGINT) AS freq
-FROM (SELECT unnest(tokens) AS t FROM read_parquet('{_ORACLE_SEQ_GLOB}'))
+FROM (SELECT unnest(tokens) AS t FROM read_parquet('{seq_glob}'))
 GROUP BY t ORDER BY freq DESC, token_id LIMIT 10
-"""
-
-# The flagship's parse → enrich → route semantics as one SQL expression:
-# grok-miss ⇒ quarantine; tier lookup (make_source_lookup: every 3rd source
-# premium, "misc" absent ⇒ null tier); n_tok >= 1024 ⇒ long; else standard.
-_SQL_FLAGSHIP_SEQUENCES = f"""
+""",
+        # The flagship's parse → enrich → route semantics as one SQL
+        # expression: grok-miss ⇒ quarantine; tier lookup (make_source_lookup:
+        # every 3rd source premium, "misc" absent ⇒ null tier); n_tok >= 1024
+        # ⇒ long; else standard.
+        "flagship_sequences": f"""
 SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
   SELECT source, COUNT(*) AS n,
          CASE WHEN NOT regexp_matches(doc_id,
@@ -1118,16 +1123,16 @@ SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
               WHEN source IN ('web','wiki','forum','mail') THEN 'sink_premium'
               WHEN n_tok >= 1024 THEN 'sink_long'
               ELSE 'sink_standard' END AS sink
-  FROM read_parquet('{_ORACLE_SEQ_GLOB}')
+  FROM read_parquet('{seq_glob}')
   GROUP BY source, sink)
 GROUP BY sink, source
-"""
-
-_SQL_PACK_SEQUENCES_STATS = f"""
+""",
+        "pack_sequences_stats": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
        CAST(SUM(LEAST(n_tok, 2048)) AS BIGINT) AS total_tokens
-FROM read_parquet('{_ORACLE_SEQ_GLOB}')
-"""
+FROM read_parquet('{seq_glob}')
+""",
+    }
 
 
 def q_pack_sequences_stats(sf_dir: str):
@@ -1234,6 +1239,7 @@ QUERIES = {
     "sessionize_events": q_sessionize_events,
     "ann_top10": q_ann_top10,
     "ivf_ann_top10": q_ivf_ann_top10,
+    "ivf_ann_top10_pruned": q_ivf_ann_top10_pruned,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
     "chunk_sequences": q_chunk_sequences,
@@ -1276,11 +1282,18 @@ ORACLE_SQL = {
     "running_seq_events": _SQL_RUNNING_SEQ_EVENTS,
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
+    # exhaustive-probe IVF (nprobe = n_clusters) must equal the exact scan
+    "ivf_ann_top10": _SQL_ANN_TOP10,
     "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,
     "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     "langid_documents": _SQL_LANGID_DOCUMENTS,
-    "chunk_sequences": _SQL_CHUNK_SEQUENCES,
-    "token_histogram_top": _SQL_TOKEN_HISTOGRAM_TOP,
-    "flagship_sequences": _SQL_FLAGSHIP_SEQUENCES,
-    "pack_sequences_stats": _SQL_PACK_SEQUENCES_STATS,
 }
+
+
+def oracle_sql_for(sf_dir: str | None = None) -> dict[str, str]:
+    """The full oracle map: static SQLs + the sequences-corpus SQLs whose
+    parquet glob is resolved for ``sf_dir`` (default: ``oracle_sf_dir()``)
+    at call time."""
+    out = dict(ORACLE_SQL)
+    out.update(_seq_oracle_sql(sf_dir or oracle_sf_dir()))
+    return out

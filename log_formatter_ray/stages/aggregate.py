@@ -18,6 +18,8 @@ needed on top; salting would only matter if partials themselves were huge
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Sum
@@ -54,3 +56,72 @@ def grouped_count(
     aggs = [Sum(count_alias, alias_name=count_alias)]
     aggs += [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
     return partials.groupby(list(keys)).aggregate(*aggs)
+
+
+def _quantile_readoff(key_cols: list[str], value_col: str, cnt_col: str,
+                      qfrac: float, out_col: str):
+    """Per coarse partition: pick each key's discrete quantile off the
+    cumulative (key, value, count) runs — fully vectorized (one sort + one
+    boolean pick per partition, never one Python call per key)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        all_keys = g[key_cols].drop_duplicates()
+        gg = g[g[value_col].notna()].sort_values(
+            key_cols + [value_col], kind="stable"
+        )
+        if len(gg):
+            c = gg[cnt_col].to_numpy(np.int64)
+            kdf = gg[key_cols]
+            newg = (kdf != kdf.shift()).any(axis=1).to_numpy()
+            newg[0] = True
+            gid = np.cumsum(newg) - 1
+            cum = np.cumsum(c)
+            start_idx = np.flatnonzero(newg)
+            grp_off = np.zeros(len(start_idx), np.int64)
+            grp_off[1:] = cum[start_idx[1:] - 1]
+            within = cum - grp_off[gid]
+            last_idx = np.r_[start_idx[1:] - 1, len(gg) - 1]
+            totals = within[last_idx]
+            # discrete quantile = the element at 0-based rank ⌈q·n⌉−1
+            # (verified: DuckDB quantile_disc picks exactly this index)
+            target = np.maximum(
+                np.ceil(qfrac * totals).astype(np.int64) - 1, 0
+            )
+            t_row = target[gid] + 1  # 1-based rank the row must reach
+            prev = within - c
+            sel = (prev < t_row) & (within >= t_row)
+            picked = gg.loc[sel, key_cols + [value_col]]
+            out = all_keys.merge(picked, on=key_cols, how="left")
+        else:  # every value of every key in this partition is null
+            out = all_keys.copy()
+            out[value_col] = np.nan
+        out[value_col] = out[value_col].astype(np.float64)
+        return out.rename(columns={value_col: out_col})
+
+    return fn
+
+
+def grouped_quantile_disc(
+    ds,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    out_col: str,
+    coarse: int = 256,
+):
+    """Grouped DISCRETE quantile (SQL ``quantile_disc``) without ever
+    gathering a key's raw rows in one worker: per-block (keys, value)
+    value-count partials collapse the corpus to a tiny (key, value, count)
+    table (a hot key contributes |distinct values| rows, not its row
+    count), then the quantile is read off the cumulative counts inside a
+    COARSE key-hash partition — skew-proof by construction, the same plan
+    ``q_median_chars_per_lang`` uses.  Null values are ignored per key;
+    an all-null key yields NaN (SQL semantics)."""
+    from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
+
+    counts = grouped_count(ds, list(keys) + [value_col], count_alias="_cnt")
+    tagged = add_coarse_part(counts, list(keys), coarse=coarse)
+    return tagged.groupby(PART_COL).map_groups(
+        _quantile_readoff(list(keys), value_col, "_cnt", q, out_col),
+        batch_format="pandas",
+    )

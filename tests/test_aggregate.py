@@ -31,3 +31,62 @@ def test_grouped_count_multi_key(seq_batch):
     ds = rd.from_arrow(seq_batch)
     got = grouped_count(ds, ["source", "n_tok"], count_alias="c").to_pandas()
     assert got["c"].sum() == len(seq_batch)
+
+
+def test_grouped_quantile_disc_matches_duckdb_and_bounds_skew():
+    """quantile_disc parity on a 99%-one-key skewed corpus — and the
+    structural scale guarantee: the shuffle sees (key, value, count)
+    partials, so the hot key contributes |distinct values| rows, never its
+    row count (the round-2 p95 gathered a key's raw rows in one worker)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    rng = np.random.default_rng(11)
+    n_hot, n_cold = 99_000, 1_000
+    # hot key: 99% of rows but only 100 DISTINCT values
+    hot_vals = rng.integers(0, 100, n_hot).astype(np.float64)
+    cold_vals = rng.normal(50, 10, n_cold)
+    df = pd.DataFrame(
+        {
+            "k": ["hot"] * n_hot + ["cold"] * n_cold,
+            "v": np.r_[hot_vals, cold_vals],
+        }
+    )
+    # null handling: an extra key with only nulls → NaN; nulls inside a
+    # key are ignored
+    df = pd.concat(
+        [
+            df,
+            pd.DataFrame({"k": ["allnull"] * 5, "v": [np.nan] * 5}),
+            pd.DataFrame({"k": ["hot"] * 7, "v": [np.nan] * 7}),
+        ],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        grouped_quantile_disc(ds, ["k"], "v", 0.95, out_col="p95")
+        .to_pandas()
+        .set_index("k")["p95"]
+    )
+
+    def disc_q(vals, q=0.95):
+        v = np.sort(np.asarray(vals)[~np.isnan(vals)])
+        return float(v[max(0, math.ceil(q * len(v)) - 1)])
+
+    assert got["hot"] == disc_q(hot_vals)
+    assert got["cold"] == disc_q(cold_vals)
+    assert np.isnan(got["allnull"])
+    exp = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.95) AS p95 FROM df GROUP BY k"
+    ).df().set_index("k")["p95"]
+    for k in ("hot", "cold"):
+        assert got[k] == exp[k], k
+    # the bounded-width guarantee: what shuffles is the value-count table
+    partials = grouped_count(ds, ["k", "v"], count_alias="_cnt").to_pandas()
+    hot_rows = (partials["k"] == "hot").sum()
+    assert hot_rows <= 101  # 100 distinct values (+1 null), never 99k rows

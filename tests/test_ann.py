@@ -57,6 +57,55 @@ def test_ivf_recall(emb_table):
     assert set(full["vec_id"].tolist()) == exact
 
 
+def test_ivf_fit_unbiased_on_cluster_sorted_corpus():
+    """fit() samples via the deterministic hash reservoir, so a corpus laid
+    out BY CLUSTER (worst case for the old ``limit()`` first-blocks sample,
+    which only ever saw cluster 0) trains the same-quality centroids as the
+    shuffled layout: recall on the sorted layout must match the unsorted
+    one."""
+    rng = np.random.default_rng(5)
+    n_per, n_clusters, dim = 800, 6, 16
+    centers = rng.standard_normal((n_clusters, dim)) * 4
+    V = np.concatenate(
+        [centers[c] + rng.standard_normal((n_per, dim)) for c in range(n_clusters)]
+    ).astype(np.float32)
+    true_cluster = np.repeat(np.arange(n_clusters), n_per)
+    ids = np.arange(len(V), dtype=np.int64)
+
+    import pyarrow as pa
+
+    def make_ds(order):
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(V[order].reshape(-1)), dim
+                ),
+            }
+        )
+        return rd.from_arrow(t).repartition(12)
+
+    q = centers[4] + rng.standard_normal(dim) * 0.1
+
+    def recall(ds):
+        idx = IVFIndex(n_clusters=n_clusters, iters=5).fit(ds, sample_rows=600)
+        assigned = idx.assign(ds).materialize()
+        got = set(idx.search(assigned, q, k=10, nprobe=2)["vec_id"].tolist())
+        exact = set(
+            brute_force_topk(ds, q, k=10, concurrency=2)["vec_id"].tolist()
+        )
+        return len(got & exact) / 10
+
+    sorted_order = np.argsort(true_cluster, kind="stable")
+    shuffled_order = rng.permutation(len(V))
+    r_sorted = recall(make_ds(sorted_order))
+    r_shuffled = recall(make_ds(shuffled_order))
+    # the hash reservoir is layout-independent → identical sample → the
+    # sorted layout cannot do worse than the shuffled one
+    assert r_sorted >= r_shuffled
+    assert r_sorted >= 0.9
+
+
 def test_quantize_embeddings_roundtrip(emb_table):
     from log_formatter_ray.ops.ann import dequantize, quantize_embeddings
 

@@ -75,7 +75,7 @@ def test_simhash_and_jaccard_pipeline(dup_table):
     cands = simhash_candidates(ds).to_pandas()
     pairs = set(map(tuple, cands[["a", "b"]].to_numpy()))
     assert (0, 10) in pairs  # identical docs always candidates
-    verified = verify_pairs_jaccard(ds, cands, threshold=0.9)
+    verified = verify_pairs_jaccard(ds, cands, threshold=0.9).to_pandas()
     vpairs = set(map(tuple, verified[["a", "b"]].to_numpy()))
     assert (0, 10) in vpairs and (10, 20) in vpairs
 
@@ -271,6 +271,6 @@ def test_verify_pairs_jaccard_huge_int_ids_and_dup_pairs():
         {"a": [base + 1, base + 1, base + 1],
          "b": [base + 2, base + 2, base + 3]}  # duplicate pair included
     )
-    out = verify_pairs_jaccard(ds, pairs, threshold=0.9)
+    out = verify_pairs_jaccard(ds, pairs, threshold=0.9).to_pandas()
     assert out["a"].tolist() == [base + 1] and out["b"].tolist() == [base + 2]
-    assert out["a"].dtype == "int64"
+    assert out["a"].dtype == "int64"  # 2^62 ids survive (no float upcast)
