@@ -144,8 +144,6 @@ def range_count_join(
     coarse-time-bucket) with ±hi_s boundary overlap if a single key's
     history exceeds memory.
     """
-    import pandas as pd
-
     from log_formatter_ray.ops._shuffle import PART_COL, hash_part
 
     lschema = left_ds.schema()
@@ -183,6 +181,70 @@ def range_count_join(
             zero_copy_batch=True,
         )
     )
+    return _range_reduce(
+        unioned, left_cols, ltypes, by, on, lo_s, hi_s, count_alias
+    )
+
+
+def range_count_join_self(
+    ds,
+    by: str,
+    on: str,
+    lo_s: float,
+    hi_s: float,
+    left_filter,
+    left_cols: list[str],
+    count_alias: str = "n_in_range",
+    coarse: int = 1024,
+):
+    """``range_count_join`` where BOTH sides come from the SAME dataset:
+    for every row matching ``left_filter`` (a ``pa.Table → boolean mask``
+    callable), count ALL dataset rows with the same ``by`` key and ``on``
+    in (left.on + lo_s, left.on + hi_s].
+
+    One streaming pass: each batch emits its tagged left rows AND its
+    (by, on) right rows from the same read — no ``materialize()`` of the
+    input, no second scan, no two-branch union.  Same partitioning
+    assumption (and salting escape hatch) as ``range_count_join``."""
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+
+    schema = ds.schema()
+    all_types = {n: t for n, t in zip(schema.names, schema.types)}
+    ltypes = {c: all_types[c] for c in left_cols}
+
+    def pad_both(batch: pa.Table) -> pa.Table:
+        lrows = batch.filter(left_filter(batch))
+        nl, nr = len(lrows), len(batch)
+        out = {}
+        for c in left_cols:
+            lcol = lrows[c].combine_chunks()
+            rcol = (
+                batch[c].combine_chunks()
+                if c in (by, on)
+                else pa.nulls(nr, ltypes[c])
+            )
+            out[c] = pa.concat_arrays([lcol, rcol])
+        out["_side"] = pa.array(["L"] * nl + ["R"] * nr)
+        out[PART_COL] = pa.array(
+            hash_part(out[by].to_numpy(zero_copy_only=False), coarse)
+        )
+        return pa.table(out)
+
+    unioned = ds.map_batches(
+        pad_both, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return _range_reduce(
+        unioned, list(left_cols), ltypes, by, on, lo_s, hi_s, count_alias
+    )
+
+
+def _range_reduce(unioned, left_cols, ltypes, by, on, lo_s, hi_s, count_alias):
+    """The shared reduce: one coarse shuffle by the join key, then two
+    vectorized ``merge_asof`` rank lookups per partition (count = rank(hi)
+    − rank(lo); n log n per hot key, no pairwise expansion)."""
+    import pandas as pd
+
+    from log_formatter_ray.ops._shuffle import PART_COL
 
     left_int_cols = [c for c in left_cols if pa.types.is_integer(ltypes[c])]
 

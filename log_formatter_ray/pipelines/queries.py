@@ -747,25 +747,18 @@ FROM events GROUP BY event_type
 
 def q_range_join_events(sf_dir: str):
     """Range (interval) join: for each error event, the number of events by
-    the same user in the following 5 minutes (custom operator: one shuffle
-    by key + searchsorted per group — no pairwise expansion)."""
-    from log_formatter_ray.ops.joins import range_count_join
+    the same user in the following 5 minutes.  Both sides come from ONE
+    streaming read (``range_count_join_self`` tags left+right rows per
+    batch) — no ``materialize()`` of the events table, no two-branch
+    union; then one coarse shuffle + two vectorized ``merge_asof`` rank
+    lookups per partition (no pairwise expansion)."""
+    from log_formatter_ray.ops.joins import range_count_join_self
 
-    ev = _tbl(
-        sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]
-    ).materialize()  # consumed by both branches below
-    errors = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "error")).select(
-            ["event_id", "user_id", "ts"]
-        ),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    everything = ev.map_batches(
-        lambda t: t.select(["user_id", "ts"]),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    out = range_count_join(
-        errors, everything, by="user_id", on="ts", lo_s=0, hi_s=300,
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    out = range_count_join_self(
+        ev, by="user_id", on="ts", lo_s=0, hi_s=300,
+        left_filter=lambda t: pc.equal(t["event_type"], "error"),
+        left_cols=["event_id", "user_id", "ts"],
         count_alias="n_follow",
     )
     return out.select_columns(["event_id", "n_follow"])

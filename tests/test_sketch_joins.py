@@ -116,6 +116,56 @@ def test_range_count_join_matches_pandas():
     assert got["event_id"].dtype == "int64"
 
 
+def test_range_count_join_self_matches_two_input_form():
+    """The one-pass self-join form (single read, per-batch L+R tagging)
+    must equal range_count_join fed the same filtered/full branches."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from log_formatter_ray.ops.joins import range_count_join, range_count_join_self
+
+    rng = np.random.default_rng(9)
+    n = 600
+    ts = pa.array(
+        (rng.integers(0, 8_000, n) * 1_000_000).astype("datetime64[us]")
+    )
+    users = pa.array([f"u{int(i)}" for i in rng.integers(0, 15, n)])
+    kinds = pa.array(
+        np.array(["error", "click", "view"], object)[rng.integers(0, 3, n)]
+    )
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": users,
+            "ts": ts,
+            "event_type": kinds,
+        }
+    )
+    ds = rd.from_arrow(ev).repartition(5)
+    got = (
+        range_count_join_self(
+            ds, by="user_id", on="ts", lo_s=0, hi_s=900,
+            left_filter=lambda t: pc.equal(t["event_type"], "error"),
+            left_cols=["event_id", "user_id", "ts"],
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    left = rd.from_arrow(
+        ev.filter(pc.equal(ev["event_type"], "error")).select(
+            ["event_id", "user_id", "ts"]
+        )
+    )
+    right = rd.from_arrow(ev.select(["user_id", "ts"]))
+    exp = (
+        range_count_join(left, right, by="user_id", on="ts", lo_s=0, hi_s=900)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["n_in_range"].tolist() == exp["n_in_range"].tolist()
+
+
 def test_approx_distinct_per_key_within_tolerance():
     import numpy as np
     import pyarrow as pa
