@@ -1,6 +1,9 @@
-"""Live status endpoint — the analog of the reference's heartbeat/monitor
-surface (/root/reference/agent/manager.go:166-225 reports status over HTTP
-to the monitor backend, monitor-be/agent.go:89-120 serves it).
+"""Live status + config-push endpoint — the analog of the reference's
+heartbeat/monitor surface (/root/reference/agent/manager.go:166-225 reports
+status over HTTP to the monitor backend, monitor-be/agent.go:89-120 serves
+it) and of the controller→agent config push
+(/root/reference/controller/controller.go:54-85 PUTs a config that
+agent/manager.go:122-164 hot-swaps).
 
 For a batch engine the job's ground truth is its lineage artifacts, so the
 endpoint simply serves them, recomputed per request:
@@ -8,6 +11,11 @@ endpoint simply serves them, recomputed per request:
 * ``GET /status``  → job_metrics(out_dir): partitions done, rows in/routed/
   dropped, per-sink rows — the counters the reference exports to prometheus.
 * ``GET /manifests`` → every per-partition lineage manifest.
+* ``POST /config`` → validated (mandatory ``input``/``pipeline``/``output``
+  sections, exactly the reference's check) and written atomically to
+  ``<out_dir>/_config_push.yml``; ``pushed_config_reloader(out_dir)`` turns
+  it into a ``run_flagship(reload_config=...)`` callable that applies the
+  push at the next WAVE boundary — closing the controller→agent loop.
 
 Because ``run_flagship`` rewrites ``_metrics.json`` after every wave, the
 endpoint is wave-accurate while a job is running in another process.
@@ -20,11 +28,14 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from log_formatter_ray.state.manifest import load_manifests
 from log_formatter_ray.state.metrics import job_metrics
+
+PUSHED_CONFIG_NAME = "_config_push.yml"
 
 
 def _payload(out_dir: str, path: str):
@@ -53,8 +64,72 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def do_POST(self):  # noqa: N802 - http.server API
+        if self.path != "/config":
+            self.send_error(404, "POST supports /config only")
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length).decode()
+        try:
+            from log_formatter_ray.config import load_config_str
+
+            load_config_str(body)  # mandatory-section validation
+        except Exception as ex:  # noqa: BLE001 — any parse error is a 400
+            self.send_error(400, f"invalid config: {ex}".replace("\n", " "))
+            return
+        path = os.path.join(self.out_dir, PUSHED_CONFIG_NAME)
+        tmp = path + ".tmp"
+        os.makedirs(self.out_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            f.write(body)
+        os.replace(tmp, path)  # atomic: the reloader never sees a torn file
+        data = json.dumps({"status": "accepted", "path": path}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
     def log_message(self, *args):  # quiet
         pass
+
+
+def pushed_config_reloader(out_dir: str):
+    """→ a zero-arg callable for ``run_flagship(reload_config=...)``: at
+    each wave boundary it checks for a controller-pushed config
+    (``POST /config`` above), parses it, and returns the pieces the
+    flagship hot-swaps — ``rules`` from the ``route`` section and
+    ``lookup`` from an ``enrich`` formatter entry.  Each push applies
+    exactly once (the file is renamed to ``.applied``); partitions always
+    run under one config version, recorded in their manifests."""
+
+    path = os.path.join(out_dir, PUSHED_CONFIG_NAME)
+
+    def reload():
+        if not os.path.exists(path):
+            return None
+        from log_formatter_ray.config import load_config_file
+        from log_formatter_ray.stages.route import make_router
+
+        cfg = load_config_file(path)
+        os.replace(path, path + ".applied")
+        out = {}
+        route = cfg.get("route")
+        if route:
+            out["rules"] = make_router(route).rules
+        for entry in (cfg.get("pipeline") or {}).get("formatters", []):
+            (name, sub), = entry.items()
+            if name == "enrich" and sub:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                if "lookup_path" in sub:
+                    out["lookup"] = pq.read_table(sub["lookup_path"])
+                elif "lookup" in sub:
+                    out["lookup"] = pa.table(sub["lookup"])
+        return out or None
+
+    return reload
 
 
 def serve_status(

@@ -52,3 +52,77 @@ def test_status_endpoint_serves_metrics_and_manifests(corpus_dir, tmp_path):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_config_push_applies_at_next_wave_boundary(corpus_dir, tmp_path):
+    """The controller→agent loop (controller.go:54-85 → manager.go:122-164):
+    a config POSTed over HTTP mid-job is validated, lands atomically in the
+    out dir, and the pushed route rules take effect at the next wave
+    boundary — manifests show BOTH rule-sets, split at the push point."""
+    import urllib.error
+    import urllib.request
+
+    from log_formatter_ray.state.status import (
+        pushed_config_reloader,
+        serve_status,
+    )
+
+    out = str(tmp_path / "o")
+    os.makedirs(out, exist_ok=True)
+    srv, port = serve_status(out)
+    pushed_yaml = """
+input: {parquet: {path: unused}}
+pipeline: {}
+route:
+  rules:
+    - {sink: sink_pushed, when: [{field: n_tok, op: ">=", value: 0}]}
+  default: sink_pushed_default
+output: {parquet: {path: unused}}
+"""
+
+    def post(body: str):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/config",
+            data=body.encode(),
+            method="POST",
+        )
+        return urllib.request.urlopen(req)
+
+    try:
+        # invalid push (missing mandatory sections) is rejected with 400
+        # and leaves no file behind
+        try:
+            post("route: {rules: []}")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        assert not os.path.exists(os.path.join(out, "_config_push.yml"))
+
+        inner = pushed_config_reloader(out)
+        calls = {"n": 0}
+
+        def reload_config():
+            # the "controller" pushes over HTTP between waves 2 and 3 —
+            # run_flagship is synchronous, so the push is injected at the
+            # wave boundary exactly as a live controller's would land
+            calls["n"] += 1
+            if calls["n"] == 3:
+                with post(pushed_yaml) as r:
+                    assert json.load(r)["status"] == "accepted"
+            return inner()
+
+        res = run_flagship(corpus_dir, out, wave_size=1,
+                           reload_config=reload_config)
+    finally:
+        srv.shutdown()
+
+    # push applied exactly once and the file is consumed
+    assert os.path.exists(os.path.join(out, "_config_push.yml.applied"))
+    assert not os.path.exists(os.path.join(out, "_config_push.yml"))
+    sinks_per_wave = [set(res.manifests[p].sink_counts)
+                     for p in sorted(res.manifests)]
+    pushed = [s for s in sinks_per_wave if "sink_pushed" in s]
+    old = [s for s in sinks_per_wave if s & {"sink_premium", "sink_standard"}]
+    assert len(pushed) == 2 and len(old) == 2  # waves 1-2 old, 3-4 pushed
+    for s in pushed:
+        assert not (s & {"sink_premium", "sink_standard", "sink_long"})
