@@ -77,11 +77,19 @@ def connected_components(
     local_edge_limit: int = 5_000_000,
     max_iters: int = 50,
     coarse: int = 1024,
+    strict: bool = True,
 ):
     """Connected components of the undirected graph given by ``edges``
     (duplicate edges are fine) → Dataset ``(id, rep)`` where ``rep`` is the
     minimum node id of the component.  Only nodes that appear in at least
     one edge are labeled.
+
+    ``strict`` (default): RAISE if label propagation has not converged
+    after ``max_iters`` rounds (graph diameter > max_iters, e.g. a long
+    chain of overlapping LSH cliques).  The consumer deletes documents
+    under these representatives, so returning partially-propagated labels
+    would be silent data loss; pass ``strict=False`` to get the
+    best-effort labels with a warning instead.
     """
     edges = edges.select_columns([a_col, b_col]).materialize()
     n_edges = edges.count()
@@ -261,6 +269,14 @@ def connected_components(
         if not changed:
             break
     else:
+        if strict:
+            raise RuntimeError(
+                f"connected_components: not converged after {max_iters} "
+                f"rounds (graph diameter exceeds max_iters; labels would "
+                f"be wrong and downstream dedup would drop documents under "
+                f"incorrect representatives) — raise max_iters, or pass "
+                f"strict=False for best-effort labels"
+            )
         logger.warning(
             "connected_components: not converged after %d rounds", max_iters
         )

@@ -93,8 +93,8 @@ def approx_distinct_per_key(ds, key: str, col: str):
             return pa.table(
                 {
                     key: batch[key].combine_chunks(),
-                    "sketch": pa.ListArray.from_arrays(
-                        pa.array([0], pa.int32()), pa.array([], pa.uint8())
+                    "sketch": pa.LargeListArray.from_arrays(
+                        pa.array([0], pa.int64()), pa.array([], pa.uint8())
                     ),
                 }
             )
@@ -108,8 +108,12 @@ def approx_distinct_per_key(ds, key: str, col: str):
         regs = np.stack(
             [hll_sketch(vals[s:e]) for s, e in zip(starts, ends)]
         ) if len(karr) else np.zeros((0, _M), np.uint8)
-        offsets = np.arange(len(starts) + 1, dtype=np.int32) * _M
-        sketches = pa.ListArray.from_arrays(
+        # int64 (large_list) offsets: int32 would silently wrap past ~524k
+        # distinct keys per block (524288 × 4096 > 2^31) and corrupt every
+        # per-key count downstream — the exact hot-key-proof contract this
+        # op exists for
+        offsets = np.arange(len(starts) + 1, dtype=np.int64) * _M
+        sketches = pa.LargeListArray.from_arrays(
             pa.array(offsets), pa.array(regs.reshape(-1), pa.uint8())
         )
         return pa.table(

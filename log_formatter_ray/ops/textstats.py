@@ -115,7 +115,18 @@ def add_rolling_fingerprint(
     off_buf = arr.buffers()[1]
     if off_buf is None or n == 0:
         return batch.append_column(out_col, pa.array(np.zeros(n, np.int64)))
-    offsets = np.frombuffer(off_buf, dtype=np.int32)[
+    # large_string carries int64 offsets (>2 GB blocks or an upstream
+    # cast); reading them as int32 would misparse silently and emit
+    # garbage fingerprints with no error
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:  # e.g. string_view: different buffer layout entirely
+        raise TypeError(
+            f"add_rolling_fingerprint expects (large_)string, got {arr.type}"
+        )
+    offsets = np.frombuffer(off_buf, dtype=off_dtype)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data_buf = arr.buffers()[2]

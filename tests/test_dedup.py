@@ -258,6 +258,26 @@ def test_connected_components_huge_int_ids_exact():
         }, mode
 
 
+def test_connected_components_nonconvergence_raises_by_default():
+    """Distributed CC labels feed a dedup that DELETES documents, so an
+    unconverged result must raise (strict default), not return wrong
+    labels with only a warning; strict=False keeps the best-effort path."""
+    import pytest
+
+    from log_formatter_ray.ops.graph import connected_components
+
+    chain = pd.DataFrame({"a": list(range(0, 12)), "b": list(range(1, 13))})
+    ds = rd.from_pandas(chain)
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(
+            ds, mode="distributed", max_iters=2, coarse=8
+        ).to_pandas()
+    out = connected_components(
+        ds, mode="distributed", max_iters=2, coarse=8, strict=False
+    ).to_pandas()
+    assert len(out) == 13  # best-effort labels still cover every node
+
+
 def test_verify_pairs_jaccard_huge_int_ids_and_dup_pairs():
     base = 2**62
     t = pa.table(

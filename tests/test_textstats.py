@@ -111,6 +111,32 @@ def test_rolling_fingerprint_matches_naive_reference():
     assert got == exp
 
 
+def test_rolling_fingerprint_large_string_offsets():
+    """large_string carries int64 offsets — misreading them as int32 would
+    emit garbage with no error; the sliced-array path (nonzero arr.offset)
+    must also parse offsets from the right position."""
+    import pytest
+
+    texts = ["hello rolling world " * 3, "", "short", "x" * 40]
+    small = pa.table({"text": pa.array(texts, pa.string())})
+    big = pa.table({"text": pa.array(texts, pa.large_string())})
+    assert (
+        add_rolling_fingerprint(big)["fp_roll"].to_pylist()
+        == add_rolling_fingerprint(small)["fp_roll"].to_pylist()
+    )
+    sliced = pa.Table.from_arrays(
+        [pa.array(["pad"] + texts, pa.large_string()).slice(1)], names=["text"]
+    )
+    assert (
+        add_rolling_fingerprint(sliced)["fp_roll"].to_pylist()
+        == add_rolling_fingerprint(small)["fp_roll"].to_pylist()
+    )
+    with pytest.raises(TypeError, match="string"):
+        add_rolling_fingerprint(
+            pa.table({"text": pa.array([1, 2], pa.int64())})
+        )
+
+
 def test_simhash_matches_naive_reference():
     import numpy as np
 
