@@ -498,3 +498,48 @@ def ingest(input_path: str | list[str], out_dir: str, **kwargs) -> FlagshipResul
     """
     kwargs.setdefault("resume", True)
     return run_flagship(input_path, out_dir, **kwargs)
+
+
+def poll_ingest(
+    input_path: str | list[str],
+    out_dir: str,
+    interval_s: float = 30.0,
+    max_polls: int | None = None,
+    stop: "object | None" = None,
+    on_result=None,
+    **kwargs,
+) -> list[FlagshipResult]:
+    """Periodic re-poll loop driving ``ingest`` — the analog of the
+    reference's Elasticsearch input ``retry`` timer
+    (/root/reference/agent/input/elasticsearch/elasticsearch.go:104-178:
+    re-issue the query every ``retry`` seconds, emit only new hits).
+
+    Each poll is one bounded ``ingest`` pass: files that gained a manifest
+    in an earlier poll are skipped, so a poll costs only the NEW arrivals
+    (plus one directory listing).  Stop with ``max_polls``, or pass a
+    ``threading.Event`` as ``stop`` and set it from another thread (the
+    drain path — the loop always finishes its current pass first, so no
+    partition is half-committed).  ``on_result(result)`` is called after
+    every poll for metrics/logging.  Returns the per-poll results.
+
+    For an external scheduler instead of a resident loop, run
+    ``ingest()`` from cron at the same cadence — the manifest store makes
+    the two exactly equivalent.
+    """
+    import time as _time
+
+    results: list[FlagshipResult] = []
+    n = 0
+    while True:
+        res = ingest(input_path, out_dir, **kwargs)
+        results.append(res)
+        if on_result is not None:
+            on_result(res)
+        n += 1
+        if max_polls is not None and n >= max_polls:
+            break
+        if stop is not None and stop.wait(interval_s):
+            break
+        if stop is None:
+            _time.sleep(interval_s)
+    return results

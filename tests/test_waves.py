@@ -94,6 +94,50 @@ def test_incremental_ingest_processes_only_new_files(tmp_path):
     assert total == 2500
 
 
+def test_poll_ingest_reprocesses_only_new_arrivals(tmp_path):
+    """The ES-input retry-timer analog (elasticsearch.go:104-178): each
+    poll is one bounded ingest pass that costs only the files that landed
+    since the previous poll."""
+    import threading
+
+    import pyarrow.parquet as pq2
+
+    from log_formatter_ray.fixtures import make_sequences_batch
+    from log_formatter_ray.pipelines.flagship import poll_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(2):
+        pq2.write_table(
+            make_sequences_batch(300, start_row=i * 300),
+            str(src / f"part-{i:05d}.parquet"),
+        )
+    out = str(tmp_path / "out")
+
+    def on_result(res):
+        if len(res.skipped_partitions) == 0:  # after the FIRST poll only
+            for i in range(2, 4):
+                pq2.write_table(
+                    make_sequences_batch(300, start_row=i * 300),
+                    str(src / f"part-{i:05d}.parquet"),
+                )
+
+    results = poll_ingest(
+        str(src), out, interval_s=0.01, max_polls=2, on_result=on_result
+    )
+    assert len(results) == 2
+    assert len(results[0].processed_partitions) == 2
+    assert len(results[1].processed_partitions) == 2  # only the arrivals
+    assert len(results[1].skipped_partitions) == 2
+    assert results[1].rows_in == 1200  # totals span all manifests
+
+    # drain path: a pre-set stop event finishes the current pass, then exits
+    ev = threading.Event()
+    ev.set()
+    drained = poll_ingest(str(src), out, interval_s=60.0, stop=ev)
+    assert len(drained) == 1 and len(drained[0].processed_partitions) == 0
+
+
 def test_wave_resume_skips_completed_waves(corpus_dir, tmp_path):
     files = sorted(glob.glob(f"{corpus_dir}/*.parquet"))
     out = str(tmp_path / "o")
