@@ -80,7 +80,76 @@ def asof_join(
             zero_copy_batch=True,
         )
     )
+    return _asof_reduce(
+        unioned, left_cols, ltypes, right_keep, right_value_cols,
+        by, on, suffix, direction,
+    )
 
+
+def asof_join_self(
+    ds,
+    by: str,
+    on: str,
+    right_value_cols: list[str],
+    left_filter,
+    left_cols: list[str],
+    right_filter=None,
+    suffix: str = "_right",
+    direction: str = "backward",
+    coarse: int = 1024,
+):
+    """``asof_join`` where BOTH sides come from the SAME dataset (e.g.
+    "for each purchase, the latest prior click by the same user"): one
+    streaming pass tags each batch's left rows (``left_filter``) and right
+    rows (``right_filter``, default all rows) — no ``materialize()`` of
+    the input, no two-branch double scan.  Filters are ``pa.Table →
+    boolean mask`` callables; same partitioning assumption and salting
+    escape hatch as ``asof_join``."""
+    from log_formatter_ray.ops._shuffle import hash_part
+
+    schema = ds.schema()
+    types = {n: t for n, t in zip(schema.names, schema.types)}
+    right_keep = [by, on, *right_value_cols]
+    right_only = [c for c in right_keep if c not in left_cols]
+    all_cols = list(left_cols) + right_only
+
+    def pad_both(batch: pa.Table) -> pa.Table:
+        lrows = batch.filter(left_filter(batch))
+        rrows = batch.filter(right_filter(batch)) if right_filter else batch
+        out = {}
+        for c in all_cols:
+            lcol = (
+                lrows[c].combine_chunks()
+                if c in left_cols
+                else pa.nulls(len(lrows), types[c])
+            )
+            rcol = (
+                rrows[c].combine_chunks()
+                if c in right_keep
+                else pa.nulls(len(rrows), types[c])
+            )
+            out[c] = pa.concat_arrays([lcol, rcol])
+        out["_side"] = pa.array(["L"] * len(lrows) + ["R"] * len(rrows))
+        out["_part"] = pa.array(
+            hash_part(out[by].to_numpy(zero_copy_only=False), coarse)
+        )
+        return pa.table(out)
+
+    unioned = ds.map_batches(
+        pad_both, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return _asof_reduce(
+        unioned, list(left_cols), {c: types[c] for c in left_cols},
+        right_keep, right_value_cols, by, on, suffix, direction,
+    )
+
+
+def _asof_reduce(
+    unioned, left_cols, ltypes, right_keep, right_value_cols, by, on,
+    suffix, direction,
+):
+    """The shared reduce: one coarse shuffle by the join key, then ONE
+    vectorized ``pd.merge_asof(by=key)`` per partition."""
     on_r = f"{on}{suffix}"
     # left integer columns become float64 in pandas once the union pads the
     # other side with nulls — restore them with the NULLABLE Int64 dtype

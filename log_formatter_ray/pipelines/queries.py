@@ -268,29 +268,20 @@ GROUP BY o_orderstatus
 
 def q_asof_join_events(sf_dir: str):
     """As-of join: for each purchase, the most recent prior click by the
-    same user (DuckDB has native ASOF JOIN for the oracle)."""
-    from log_formatter_ray.ops.asof import asof_join
+    same user (DuckDB has native ASOF JOIN for the oracle).  Both sides
+    come from ONE streaming read (``asof_join_self`` tags purchase/click
+    rows per batch) — no ``materialize()``, no two-branch double scan."""
+    from log_formatter_ray.ops.asof import asof_join_self
 
-    # ev feeds BOTH branches: materialize the projected table once so the
-    # union doesn't decode the parquet twice (Dataset re-executes per consumer)
     ev = _tbl(
         sf_dir, "events",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
-    ).materialize()
-    purchases = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
-            ["event_id", "user_id", "ts"]
-        ),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
-    clicks = ev.map_batches(
-        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
-            ["user_id", "ts", "value"]
-        ),
-        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-    )
-    return asof_join(
-        purchases, clicks, by="user_id", on="ts", right_value_cols=["value"]
+    return asof_join_self(
+        ev, by="user_id", on="ts", right_value_cols=["value"],
+        left_filter=lambda t: pc.equal(t["event_type"], "purchase"),
+        left_cols=["event_id", "user_id", "ts"],
+        right_filter=lambda t: pc.equal(t["event_type"], "click"),
     )
 
 

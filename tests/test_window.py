@@ -151,6 +151,37 @@ def test_asof_join_matches_pandas(events_ds):
     assert got["event_id"].dtype == "int64"  # no float degradation
 
 
+def test_asof_join_self_matches_two_input_form(events_ds):
+    """The one-pass self-join form (single read, per-batch L+R tagging)
+    must equal asof_join fed the same filtered branches."""
+    from log_formatter_ray.ops.asof import asof_join, asof_join_self
+    import pyarrow.compute as pc
+
+    got = (
+        asof_join_self(
+            events_ds, by="user_id", on="ts", right_value_cols=["value"],
+            left_filter=lambda t: pc.equal(t["event_type"], "purchase"),
+            left_cols=["event_id", "user_id", "ts"],
+            right_filter=lambda t: pc.equal(t["event_type"], "click"),
+        )
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    purchases = events_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    clicks = events_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts", "value"]),
+        batch_format="pyarrow")
+    exp = (
+        asof_join(purchases, clicks, by="user_id", on="ts",
+                  right_value_cols=["value"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_asof_join_all_null_ts_group():
     """A key whose left rows ALL have null `on` must emit each row ONCE with
     the full output schema (null match columns) — not twice with a narrower
