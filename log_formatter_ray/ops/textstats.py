@@ -90,7 +90,16 @@ def add_quality_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def add_fingerprint_md5(batch: pa.Table, text_col: str = "text", out_col: str = "fp") -> pa.Table:
-    """Content fingerprint = hex md5 (DuckDB ``md5(text)`` parity)."""
+    """Content fingerprint = hex md5 (DuckDB ``md5(text)`` parity).
+
+    COST NOTE — the one remaining per-row Python loop on a text hot path:
+    md5 has no vectorized kernel (hashlib releases the GIL per call but the
+    loop is Python), measured ~0.9 M rows/s · ~250 MB/s per core on this
+    box — ~6 CPU-days per 100 TB of text before parallelism.  It exists
+    for md5 *parity* (interop with external md5-keyed systems).  When the
+    fingerprint only needs to be a stable content key, prefer
+    ``add_rolling_fingerprint`` (vectorized Karp–Rabin, order-of-magnitude
+    faster) or ``ops.dedup._stable_hash64`` — both process-stable."""
     fps = [hashlib.md5(s.encode()).hexdigest() if s is not None else None
            for s in batch[text_col].to_pylist()]
     return batch.append_column(out_col, pa.array(fps, pa.string()))

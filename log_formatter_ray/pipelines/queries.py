@@ -1050,6 +1050,31 @@ def q_pack_sequences(sf_dir: str):
     )
 
 
+def q_pack_sequences_global(sf_dir: str):
+    """Two-level GLOBAL packing (``pack_sequences_spill``): per-block FFD
+    + streamed full-pack writes + remainder refine.  Oracle-checked via
+    mass conservation (n_seqs, total_tokens — identical SQL to
+    ``pack_sequences_stats``); the layout-dependent n_packs/fill are
+    asserted in tests (fill ≥ per-batch fill, ≥ 0.99)."""
+    import shutil
+
+    from log_formatter_ray.ops.tokens import pack_sequences_spill
+
+    ds = _sequences_ds(sf_dir)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix="lfr_packglobal_", dir=base)
+    try:
+        res = pack_sequences_spill(ds, out, context_len=2048)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "n_seqs": pa.array([res["n_seqs"]], pa.int64()),
+            "total_tokens": pa.array([res["total_tokens"]], pa.int64()),
+        }
+    )
+
+
 def q_token_histogram_top(sf_dir: str):
     from log_formatter_ray.ops.tokens import token_histogram
 
@@ -1112,6 +1137,12 @@ SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
 GROUP BY sink, source
 """,
         "pack_sequences_stats": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(LEAST(n_tok, 2048)) AS BIGINT) AS total_tokens
+FROM read_parquet('{seq_glob}')
+""",
+        # global packing conserves the same mass as per-batch packing
+        "pack_sequences_global": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
        CAST(SUM(LEAST(n_tok, 2048)) AS BIGINT) AS total_tokens
 FROM read_parquet('{seq_glob}')
@@ -1229,6 +1260,7 @@ QUERIES = {
     "chunk_sequences": q_chunk_sequences,
     "pack_sequences": q_pack_sequences,
     "pack_sequences_stats": q_pack_sequences_stats,
+    "pack_sequences_global": q_pack_sequences_global,
     "token_histogram_top": q_token_histogram_top,
     "distinct_embeddings": q_distinct_embeddings,
 }

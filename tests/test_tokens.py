@@ -76,6 +76,67 @@ def test_pack_truncates_overlong():
     assert out["n_tok"].to_pylist() == [1000]
 
 
+def test_unpack_sequences_roundtrip(seq_batch):
+    from log_formatter_ray.ops.tokens import unpack_sequences
+
+    packs = pack_sequences(seq_batch, context_len=2048)
+    seqs = unpack_sequences(packs).to_pandas()
+    orig = seq_batch.to_pandas().set_index("doc_id")
+    assert sorted(seqs["doc_id"]) == sorted(orig.index)
+    for d, toks in zip(seqs["doc_id"], seqs["tokens"]):
+        assert np.array_equal(np.asarray(toks), np.asarray(orig.loc[d, "tokens"]))
+    # filtered (non-tiling start) subset exercises the fallback/tile check
+    sub = packs.slice(1, len(packs) - 1)
+    seqs2 = unpack_sequences(sub).to_pandas()
+    for d, toks in zip(seqs2["doc_id"], seqs2["tokens"]):
+        assert np.array_equal(np.asarray(toks), np.asarray(orig.loc[d, "tokens"]))
+    # truncation survives the roundtrip
+    t = pa.table({"doc_id": ["a", "b"], "tokens": [list(range(3000)), [7, 8]]})
+    rt = unpack_sequences(pack_sequences(t, context_len=1000)).to_pandas()
+    rt = rt.set_index("doc_id")
+    assert list(rt.loc["a", "tokens"]) == list(range(1000))
+    assert list(rt.loc["b", "tokens"]) == [7, 8]
+    # empty input keeps a typed schema
+    empty = unpack_sequences(packs.slice(0, 0))
+    assert empty.schema.field("tokens").type == pa.list_(pa.int32())
+
+
+def test_pack_sequences_spill_global_fill(tmp_path):
+    """Two-level pack-and-spill: every sequence packed exactly once, mass
+    conserved, and the global fill is at least the per-batch fill (the
+    refine stage exists to beat the per-window tail loss)."""
+    import pyarrow.parquet as pq
+
+    from log_formatter_ray.fixtures import make_sequences_batch
+    from log_formatter_ray.ops.tokens import pack_sequences_spill
+
+    ctx = 2048
+    batch = make_sequences_batch(6000, start_row=0)
+    ds = rd.from_arrow(batch).repartition(12)  # 12 per-batch windows
+    res = pack_sequences_spill(
+        ds, str(tmp_path), context_len=ctx, refine_partitions=2
+    )
+    df = batch.to_pandas()
+    expected_tokens = int(np.minimum(df["n_tok"], ctx).sum())
+    assert res["n_seqs"] == len(batch)
+    assert res["total_tokens"] == expected_tokens
+
+    out = pq.read_table(res["path"])
+    all_ids = [d for ids in out["doc_ids"].to_pylist() for d in ids]
+    assert sorted(all_ids) == sorted(batch["doc_id"].to_pylist())
+    assert (np.asarray(out["n_tok"]) <= ctx).all()
+
+    # per-batch packing fill over the same 12 windows (no refine)
+    per_batch_packs = 0
+    for i in range(12):
+        sl = batch.slice(i * 500, 500)
+        per_batch_packs += len(pack_sequences(sl, context_len=ctx))
+    per_batch_fill = expected_tokens / (per_batch_packs * ctx)
+    assert res["n_packs"] <= per_batch_packs
+    assert res["fill"] >= per_batch_fill
+    assert res["fill"] >= 0.99
+
+
 def test_token_histogram_matches_numpy(seq_batch):
     ds = rd.from_arrow(seq_batch).repartition(4)
     hist = token_histogram(ds, vocab_size=50257)
