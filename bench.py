@@ -43,6 +43,12 @@ BENCH_QUERIES = [
     "chunk_sequences",
     "top_terms_per_lang",
     "range_join_events",
+    # round-3 rewrites: one-pass asof, bulk jaccard judge, value-count p95,
+    # two-level global packing
+    "asof_join_events",
+    "jaccard_near_dups",
+    "p95_value_per_type",
+    "pack_sequences_global",
 ]
 
 

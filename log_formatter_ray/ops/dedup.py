@@ -27,6 +27,13 @@ Scale design notes (the part that must survive 100 TB):
   ``bands`` independent hyperplane sets raises recall; ``nbits`` per band
   keeps buckets small), capped buckets, blocked cosine inside each bucket,
   Dataset output deduplicated across bands.
+
+Choosing ``coarse``: each coarse partition costs a fixed ~1 ms of
+per-group machinery on top of the vectorized work (measured — 4096
+partitions added ~3 s to a 50k-doc SimHash run that does <2 s of real
+work), so the default 1024 suits 10^5–10^8-row inputs; RAISE it with
+corpus size so a partition (≈ rows×bands/coarse) stays inside a worker —
+at 10^12 docs think 10^5–10^6, where the fixed cost is noise.
 """
 
 from __future__ import annotations
@@ -286,7 +293,7 @@ def minhash_lsh_clusters(
     seed: int = 42,
     concurrency=None,
     max_bucket: int = 200,
-    coarse: int = 4096,
+    coarse: int = 1024,
     cc_mode: str = "auto",
 ):
     """MinHash-LSH near-dup clustering → Dataset (id, rep) for docs in
@@ -430,7 +437,7 @@ def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash
 
 def simhash_candidates(
     ds, id_col: str = "doc_id", hamming: int = 3, max_bucket: int = 200,
-    coarse: int = 4096,
+    coarse: int = 1024,
 ):
     """Near-dup candidate pairs with Hamming(simhash) ≤ ``hamming`` →
     Dataset (a, b), found by banding the 64-bit signature into 4×16-bit
@@ -708,7 +715,7 @@ class HyperplaneBucketer:
     The projection matrix is built once per actor."""
 
     def __init__(self, emb_col: str = "embedding", nbits: int = 8, bands: int = 2,
-                 dim: int | None = None, seed: int = 42, coarse: int = 4096):
+                 dim: int | None = None, seed: int = 42, coarse: int = 1024):
         self.emb_col = emb_col
         self.nbits = nbits
         self.bands = bands
@@ -750,7 +757,7 @@ def embedding_dup_pairs(
     ds, emb_col: str = "embedding", id_col: str = "vec_id",
     threshold: float = 0.95, nbits: int = 10, bands: int = 2, seed: int = 42,
     concurrency=(1, 4), max_bucket: int = 4000, block: int = 1024,
-    coarse: int = 4096,
+    coarse: int = 1024,
 ):
     """Cosine ≥ threshold pairs, exact within multi-band hyperplane-LSH
     buckets → Dataset (a, b, cos).
