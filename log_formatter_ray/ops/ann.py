@@ -83,13 +83,34 @@ def brute_force_topk(
     qref = ray.put(queries)
     # over-fetch so post-hoc exclusion can never displace a true top-k hit
     k_local = k + (len(exclude_ids) if exclude_ids else 0)
-    partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_args=(qref, k_local, emb_col, id_col),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    ).to_pandas()
+
+    def refine(t: pa.Table) -> pa.Table:
+        # second distributed top-k level: the driver merge stays
+        # O(partitions × queries × k) regardless of block count (exact —
+        # top-k of per-block top-k's is the global top-k)
+        q_idx = np.asarray(t["query_idx"])
+        cos = np.asarray(t["cos"])
+        ids = np.asarray(t[id_col])
+        order = np.lexsort((ids, -cos, q_idx))
+        starts = np.flatnonzero(np.r_[True, q_idx[order][1:] != q_idx[order][:-1]])
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)])
+        )
+        return t.take(pa.array(order[rank < k_local]))
+
+    partials = (
+        ds.map_batches(
+            _PartialTopK,
+            fn_constructor_args=(qref, k_local, emb_col, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
+        .repartition(8)
+        .map_batches(refine, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .to_pandas()
+    )
     if exclude_ids:
         partials = partials[~partials[id_col].isin(exclude_ids)]
     out = (

@@ -80,10 +80,16 @@ def sample_by_hash(ds, frac: float, id_col: str = "doc_id", denom: int = 10_000)
     )
 
 
-def reservoir_top_hash(ds, k: int, id_col: str = "doc_id") -> pd.DataFrame:
+def reservoir_top_hash(ds, k: int, id_col: str = "doc_id",
+                       reduce_partitions: int = 8) -> pd.DataFrame:
     """Exactly ``min(k, n)`` rows with the smallest hash priority — a
     deterministic uniform-ish sample.  Per-block partial top-k (k rows per
-    block travel), tiny driver merge; the corpus never shuffles."""
+    block travel), then a SECOND distributed top-k level over
+    ``reduce_partitions`` coalesced blocks, so the driver merge is
+    O(reduce_partitions × k) regardless of block count (at 10^5-10^6
+    blocks a single-level merge would drag blocks×k rows to the driver);
+    the corpus never shuffles.  Exact: top-k of per-block top-k's is the
+    global top-k."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -93,9 +99,24 @@ def reservoir_top_hash(ds, k: int, id_col: str = "doc_id") -> pd.DataFrame:
         out = batch.take(pa.array(order))
         return out.append_column("_prio", pa.array(h[order].astype(np.int64)))
 
-    partials = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
+    def refine(batch: pa.Table) -> pa.Table:
+        prio = batch["_prio"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vals = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, prio))[: min(k, len(prio))]
+        return batch.take(pa.array(order))
+
+    partials = (
+        ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .repartition(reduce_partitions)
+        .map_batches(
+            refine, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
     # _prio carries the uint64 priority in int64 bits; reinterpret before
     # sorting (a plain int64 sort would rank wrapped-negative hashes first)
     prio = partials["_prio"].to_numpy().astype(np.uint64)
