@@ -116,12 +116,54 @@ def grouped_quantile_disc(
     count), then the quantile is read off the cumulative counts inside a
     COARSE key-hash partition — skew-proof by construction, the same plan
     ``q_median_chars_per_lang`` uses.  Null values are ignored per key;
-    an all-null key yields NaN (SQL semantics)."""
+    an all-null key yields NaN (SQL semantics).
+
+    One read, ONE shuffle: each block emits its (keys, value, count)
+    partials for non-null values PLUS keys-only presence rows (value=null,
+    count=0, so an all-null key still surfaces), and the read-off works
+    directly on unmerged partials — split counts for the same (key,
+    value) accumulate correctly in the cumulative pass, so no intermediate
+    merge groupby is needed.  The value column never becomes a shuffle
+    SORT key (Ray's sort-based groupby cannot order a null against a
+    float — found by the hypothesis property test); only the int32 coarse
+    part is."""
+    import pyarrow.compute as _pc
+
     from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
 
-    counts = grouped_count(ds, list(keys) + [value_col], count_alias="_cnt")
-    tagged = add_coarse_part(counts, list(keys), coarse=coarse)
+    keys = list(keys)
+    value_type = dict(zip(ds.schema().names, ds.schema().types))[value_col]
+    if pa.types.is_null(value_type):  # corpus-wide all-null value column
+        value_type = pa.float64()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-block normalization: an all-null pandas-sourced block arrives
+        # with a null-typed value column regardless of the dataset schema —
+        # cast so every block's partials concat/union under ONE schema
+        if batch[value_col].type != value_type:
+            i = batch.column_names.index(value_col)
+            batch = batch.set_column(
+                i, value_col, batch[value_col].cast(value_type)
+            )
+        nn = batch.filter(_pc.is_valid(batch[value_col]))
+        t1 = nn.group_by(keys + [value_col]).aggregate([([], "count_all")])
+        t2 = batch.group_by(keys).aggregate([([], "count_all")])
+        out1 = pa.table(
+            {**{k: t1[k] for k in keys}, value_col: t1[value_col],
+             "_cnt": t1["count_all"].cast(pa.int64())}
+        )
+        out2 = pa.table(
+            {**{k: t2[k] for k in keys},
+             value_col: pa.nulls(len(t2), value_type),
+             "_cnt": pa.array(np.zeros(len(t2), np.int64))}
+        )
+        return pa.concat_tables([out1, out2])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    tagged = add_coarse_part(partials, keys, coarse=coarse)
     return tagged.groupby(PART_COL).map_groups(
-        _quantile_readoff(list(keys), value_col, "_cnt", q, out_col),
+        _quantile_readoff(keys, value_col, "_cnt", q, out_col),
         batch_format="pandas",
     )

@@ -109,3 +109,73 @@ def test_chunk_reassembly_property(lens, max_len):
         parts = df[df["doc_id"] == f"d{i:04d}"]["tokens"]
         rebuilt = np.concatenate([np.asarray(p) for p in parts]) if len(parts) else np.array([])
         assert np.array_equal(rebuilt, orig)
+
+
+@given(
+    st.lists(st.integers(0, 2500), min_size=1, max_size=50),
+    st.integers(64, 2048),
+)
+@settings(max_examples=40, deadline=None)
+def test_pack_unpack_roundtrip_property(lens, ctx):
+    """pack → unpack preserves every sequence (truncated at ctx), including
+    empty token lists and rows longer than the context."""
+    from log_formatter_ray.ops.tokens import pack_sequences, unpack_sequences
+
+    rng = np.random.default_rng(1)
+    toks = [rng.integers(0, 1000, size=n, dtype=np.int32) for n in lens]
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i:04d}" for i in range(len(lens))]),
+            "tokens": pa.array([x.tolist() for x in toks], pa.list_(pa.int32())),
+        }
+    )
+    packs = pack_sequences(t, context_len=ctx)
+    assert max(packs["n_tok"].to_pylist(), default=0) <= ctx
+    back = unpack_sequences(packs).to_pandas().set_index("doc_id")
+    assert sorted(back.index) == sorted(f"d{i:04d}" for i in range(len(lens)))
+    for i, orig in enumerate(toks):
+        got = np.asarray(back.loc[f"d{i:04d}", "tokens"])
+        assert np.array_equal(got, orig[:ctx])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", None]),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from([0.1, 0.5, 0.95]),
+)
+@settings(max_examples=25, deadline=None)
+def test_grouped_quantile_disc_vs_duckdb_property(rows, q):
+    """grouped_quantile_disc == DuckDB quantile_disc on random keyed data
+    with nulls in both key and value (null keys form a group; null values
+    ignored; all-null keys yield NaN)."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    df = pd.DataFrame(rows, columns=["k", "v"]).astype({"v": "float64"})
+    got = (
+        grouped_quantile_disc(
+            rd.from_pandas(df).repartition(3), ["k"], "v", q, out_col="p",
+            coarse=8,
+        )
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(f"SELECT k, quantile_disc(v, {q}) AS p FROM df GROUP BY k")
+        .df()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got["k"].fillna("~").tolist() == exp["k"].fillna("~").tolist()
+    for g, x in zip(got["p"], exp["p"]):
+        assert (pd.isna(g) and pd.isna(x)) or g == x
