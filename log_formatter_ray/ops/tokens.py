@@ -344,6 +344,11 @@ def pack_sequences_spill(
 
     Returns ``{path, n_packs, n_seqs, total_tokens, fill}`` (stats read
     back from the parquet footers' columns, never the token payload).
+
+    Content-hashed filenames make a RETRIED task overwrite its own file
+    byte-for-byte; a fresh ``out_dir`` per job run is still required (a
+    rerun re-packs everything — use the flagship's manifest pattern on
+    top if per-shard resume is needed).
     """
     import os
 

@@ -258,6 +258,25 @@ def test_connected_components_huge_int_ids_exact():
         }, mode
 
 
+def test_verify_pairs_jaccard_string_ids():
+    """String doc ids take the nulls-dummy path through the incidence
+    build and the object-dtype hash partitioning."""
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d/one", "d/two", "d/three"]),
+            "text": ["alpha beta gamma delta"] * 2
+            + ["completely different words here"],
+        }
+    )
+    ds = rd.from_arrow(t)
+    pairs = pd.DataFrame(
+        {"a": ["d/one", "d/one"], "b": ["d/two", "d/three"]}
+    )
+    out = verify_pairs_jaccard(ds, pairs, threshold=0.9).to_pandas()
+    assert out["a"].tolist() == ["d/one"] and out["b"].tolist() == ["d/two"]
+    assert out["jaccard"].tolist() == [1.0]
+
+
 def test_connected_components_nonconvergence_raises_by_default():
     """Distributed CC labels feed a dedup that DELETES documents, so an
     unconverged result must raise (strict default), not return wrong
