@@ -27,7 +27,7 @@ def asof_join(
     right_value_cols: list[str],
     suffix: str = "_right",
     direction: str = "backward",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """For every left row, attach the nearest right row (same ``by`` key;
     ``right.on <= left.on`` for direction="backward") — e.g. "the most
@@ -96,7 +96,7 @@ def asof_join_self(
     right_filter=None,
     suffix: str = "_right",
     direction: str = "backward",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """``asof_join`` where BOTH sides come from the SAME dataset (e.g.
     "for each purchase, the latest prior click by the same user"): one

@@ -28,12 +28,14 @@ Scale design notes (the part that must survive 100 TB):
   keeps buckets small), capped buckets, blocked cosine inside each bucket,
   Dataset output deduplicated across bands.
 
-Choosing ``coarse``: each coarse partition costs a fixed ~1 ms of
+Choosing ``coarse``: each coarse partition costs a fixed ~1–5 ms of
 per-group machinery on top of the vectorized work (measured — 4096
 partitions added ~3 s to a 50k-doc SimHash run that does <2 s of real
-work), so the default 1024 suits 10^5–10^8-row inputs; RAISE it with
-corpus size so a partition (≈ rows×bands/coarse) stays inside a worker —
-at 10^12 docs think 10^5–10^6, where the fixed cost is noise.
+work; a 100k-row range join dropped 4.8 → 1.0 s going 1024 → 256), so
+defaults are small (256 for keyed ops, 1024 for band-exploded LSH);
+RAISE with corpus size so a partition (≈ rows×bands/coarse) stays
+inside a worker — at 10^12 docs think 10^5–10^6, where the fixed cost
+is noise.
 """
 
 from __future__ import annotations
@@ -68,7 +70,7 @@ def _stable_hash64(values) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                coarse: int = 1024):
+                coarse: int = 256):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
     Hash-collision-safe: the shuffle key is a COARSE partition of the
@@ -527,7 +529,7 @@ def jaccard(a: set, b: set) -> float:
 
 def verify_pairs_jaccard(
     ds, pairs, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3, threshold: float = 0.6, coarse: int = 1024,
+    n: int = 3, threshold: float = 0.6, coarse: int = 256,
 ):
     """Exact n-gram Jaccard over candidate pairs → Dataset (a, b, jaccard),
     pairs with jaccard ≥ threshold.  ``pairs`` is a Dataset or DataFrame

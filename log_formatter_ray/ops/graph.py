@@ -76,7 +76,7 @@ def connected_components(
     mode: str = "auto",
     local_edge_limit: int = 5_000_000,
     max_iters: int = 50,
-    coarse: int = 1024,
+    coarse: int = 256,
     strict: bool = True,
 ):
     """Connected components of the undirected graph given by ``edges``

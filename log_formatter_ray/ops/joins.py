@@ -124,7 +124,7 @@ def range_count_join(
     lo_s: float,
     hi_s: float,
     count_alias: str = "n_in_range",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """For every left row, COUNT right rows with the same ``by`` key and
     ``on`` in the half-open window (left.on + lo_s, left.on + hi_s] —
@@ -195,7 +195,7 @@ def range_count_join_self(
     left_filter,
     left_cols: list[str],
     count_alias: str = "n_in_range",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """``range_count_join`` where BOTH sides come from the SAME dataset:
     for every row matching ``left_filter`` (a ``pa.Table → boolean mask``

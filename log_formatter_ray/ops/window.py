@@ -128,7 +128,7 @@ def topk_per_group(
     k: int = 3,
     descending: bool = True,
     tiebreak_cols: list[str] | None = None,
-    coarse: int = 512,
+    coarse: int = 256,
 ):
     """Top-k rows per group by ``order_col`` with deterministic tie-break
     (``tiebreak_cols`` ascending).  Shuffles by a coarse hash of
@@ -165,7 +165,7 @@ def running_sequence_numbers(
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_col: str = "k",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """Ordered per-key processing: 1-based sequence number of each row
     within its key's timeline (ROW_NUMBER() OVER (PARTITION BY key
@@ -193,7 +193,7 @@ def session_windows(
     ts_col: str = "ts",
     gap_s: float = 1800.0,
     value_col: str | None = "value",
-    coarse: int = 1024,
+    coarse: int = 256,
 ):
     """Per-key session windows (new session when the inter-event gap exceeds
     ``gap_s``); returns one row per session: key, session_start, session_end,
