@@ -530,25 +530,33 @@ def jaccard(a: set, b: set) -> float:
 def verify_pairs_jaccard(
     ds, pairs, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3, threshold: float = 0.6, coarse: int = 256,
+    mode: str = "auto", local_pair_limit: int = 100_000,
 ):
     """Exact n-gram Jaccard over candidate pairs → Dataset (a, b, jaccard),
     pairs with jaccard ≥ threshold.  ``pairs`` is a Dataset or DataFrame
     with columns (a, b); duplicate pairs are deduplicated.
 
-    Fully distributed, no per-pair Python stage (the round-2 judge ran one
-    pandas ``map_groups`` call per candidate pair — TUNING.md's measured
-    14× anti-pattern; this plan is ~40× faster at 20k pairs):
+    Two plans, chosen like a query optimizer (the ``connected_components``
+    pattern); both stream the corpus and keep texts off the driver:
 
-    1. candidate texts leave the corpus scan via a broadcast id-set filter
-       (ids only on the driver — sparse by the LSH assumption; texts never
-       touch the driver);
-    2. texts attach to pair-incidence rows inside COARSE doc-hash
-       partitions with one vectorized pandas merge per partition;
-    3. each COARSE pair-hash partition verifies ALL its pairs in one bulk
-       call — n-gram sets are built once per distinct doc in the partition
-       (memoized) and pair Jaccards are plain set intersections, no pandas
-       frame per pair.  A duplicated/colliding pair key cannot splice rows:
-       the merge joins on the LITERAL (a, b) values.
+    * ``mode="local"`` (auto below ``local_pair_limit`` pairs): candidate
+      texts — sparse by the LSH assumption — are gathered into ONE Ray
+      task that judges every pair in a single bulk call.  No shuffle at
+      all; right whenever the candidate texts fit one worker.
+    * ``mode="distributed"``: no per-pair Python stage (the round-2 judge
+      ran one pandas ``map_groups`` call per candidate pair — TUNING.md's
+      measured 14× anti-pattern; this plan is ~40× faster at 20k pairs):
+
+      1. candidate texts leave the corpus scan via a broadcast id-set
+         filter (ids only on the driver; texts never touch the driver);
+      2. texts attach to pair-incidence rows inside COARSE doc-hash
+         partitions with one vectorized pandas merge per partition;
+      3. each COARSE pair-hash partition verifies ALL its pairs in one
+         bulk call — n-gram sets are built once per distinct doc in the
+         partition (memoized) and pair Jaccards are plain set
+         intersections, no pandas frame per pair.  A duplicated/colliding
+         pair key cannot splice rows: the merge joins on the LITERAL
+         (a, b) values.
     """
     import ray.data as rd
 
@@ -569,6 +577,11 @@ def verify_pairs_jaccard(
         if not len(pairs):
             return rd.from_arrow(empty)
         pairs = rd.from_pandas(pairs[["a", "b"]].reset_index(drop=True))
+    else:
+        # consumed twice below (id broadcast + incidence build) — pin the
+        # SMALL pair set so its upstream (an LSH candidate chain) doesn't
+        # re-execute per consumer
+        pairs = pairs.materialize()
 
     # Candidate doc-id broadcast: per-batch distinct ids → small driver
     # union (bounded by |candidate docs|, never pairs or texts).
@@ -590,6 +603,65 @@ def verify_pairs_jaccard(
     if not len(id_parts):
         return rd.from_arrow(empty)
     want_ref = ray.put(pa.array(pd.unique(id_parts["doc"])).cast(doc_type))
+
+    if mode == "auto":
+        mode = "local" if pairs.count() <= local_pair_limit else "distributed"
+    if mode == "local":
+        # single-task judge: the corpus scan still streams (broadcast
+        # id-set filter per batch), but the SPARSE candidate texts coalesce
+        # into one block judged in one bulk call — zero shuffles
+        pairs_ref = ray.put(
+            pairs.to_pandas()  # ≤ local_pair_limit rows by plan choice
+        )
+
+        def pick_minimal(batch: pa.Table) -> pa.Table:
+            sub = batch.select([id_col, text_col]).filter(
+                pc.is_in(batch[id_col], value_set=ray.get(want_ref))
+            )
+            return pa.table(
+                {
+                    "doc": sub[id_col].combine_chunks(),
+                    "text": sub[text_col].combine_chunks(),
+                }
+            )
+
+        def judge_all(batch: pa.Table) -> pa.Table:
+            pdf = ray.get(pairs_ref)
+            text_of = dict(
+                zip(batch["doc"].to_pylist(), batch["text"].to_pylist())
+            )
+            cache: dict = {}
+
+            def gset(key):
+                s = cache.get(key)
+                if s is None:
+                    s = cache[key] = ngram_set(text_of.get(key), n)
+                return s
+
+            out_a, out_b, out_j = [], [], []
+            for aa, bb in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                j = jaccard(gset(aa), gset(bb))
+                if j >= threshold:
+                    out_a.append(aa)
+                    out_b.append(bb)
+                    out_j.append(j)
+            return pa.table(
+                {
+                    "a": pa.array(out_a).cast(doc_type)
+                    if out_a else pa.nulls(0, doc_type),
+                    "b": pa.array(out_b).cast(doc_type)
+                    if out_b else pa.nulls(0, doc_type),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+        texts_one = ds.map_batches(
+            pick_minimal, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ).repartition(1)
+        return texts_one.map_batches(
+            judge_all, batch_format="pyarrow", batch_size=None
+        )
 
     def _dummy_ids(k: int) -> pa.Array:
         # text rows carry DUMMY pair ids, not nulls: a null in an int64

@@ -272,9 +272,13 @@ def test_verify_pairs_jaccard_string_ids():
     pairs = pd.DataFrame(
         {"a": ["d/one", "d/one"], "b": ["d/two", "d/three"]}
     )
-    out = verify_pairs_jaccard(ds, pairs, threshold=0.9).to_pandas()
-    assert out["a"].tolist() == ["d/one"] and out["b"].tolist() == ["d/two"]
-    assert out["jaccard"].tolist() == [1.0]
+    for mode in ("local", "distributed"):
+        out = verify_pairs_jaccard(
+            ds, pairs, threshold=0.9, mode=mode
+        ).to_pandas()
+        assert out["a"].tolist() == ["d/one"], mode
+        assert out["b"].tolist() == ["d/two"], mode
+        assert out["jaccard"].tolist() == [1.0], mode
 
 
 def test_connected_components_nonconvergence_raises_by_default():
@@ -310,6 +314,10 @@ def test_verify_pairs_jaccard_huge_int_ids_and_dup_pairs():
         {"a": [base + 1, base + 1, base + 1],
          "b": [base + 2, base + 2, base + 3]}  # duplicate pair included
     )
-    out = verify_pairs_jaccard(ds, pairs, threshold=0.9).to_pandas()
-    assert out["a"].tolist() == [base + 1] and out["b"].tolist() == [base + 2]
-    assert out["a"].dtype == "int64"  # 2^62 ids survive (no float upcast)
+    for mode in ("local", "distributed"):
+        out = verify_pairs_jaccard(
+            ds, pairs, threshold=0.9, mode=mode
+        ).to_pandas()
+        assert out["a"].tolist() == [base + 1], mode
+        assert out["b"].tolist() == [base + 2], mode
+        assert out["a"].dtype == "int64", mode  # 2^62 ids survive
