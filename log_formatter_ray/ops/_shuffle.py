@@ -34,20 +34,32 @@ def hash_part(values: np.ndarray, coarse: int) -> np.ndarray:
     return (h % np.uint64(coarse)).astype(np.int32)
 
 
+def hash_part_cols(cols: list[np.ndarray], coarse: int, n: int) -> np.ndarray:
+    """Multi-column coarse partition: FNV-fold the per-column stable hashes
+    — the ONE canonical recipe (used by add_coarse_part and by pandas-side
+    callers, so the combine can never drift between copies)."""
+    h = np.zeros(n, dtype=np.uint64)
+    for vals in cols:
+        h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+            _canonical(vals), categorize=False
+        )
+    return (h % np.uint64(coarse)).astype(np.int32)
+
+
 def add_coarse_part(ds, key_cols: list[str], coarse: int = 1024,
                     out_col: str = PART_COL):
     """Append ``out_col`` = hash(key columns) % coarse to every batch."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        h = np.zeros(len(batch), dtype=np.uint64)
-        for c in key_cols:
-            vals = batch[c].combine_chunks().to_numpy(zero_copy_only=False)
-            h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
-                _canonical(vals), categorize=False
-            )
-        return batch.append_column(
-            out_col, pa.array((h % np.uint64(coarse)).astype(np.int32))
+        part = hash_part_cols(
+            [
+                batch[c].combine_chunks().to_numpy(zero_copy_only=False)
+                for c in key_cols
+            ],
+            coarse,
+            len(batch),
         )
+        return batch.append_column(out_col, pa.array(part))
 
     return ds.map_batches(
         tag, batch_format="pyarrow", batch_size=None, zero_copy_batch=True

@@ -560,7 +560,7 @@ def verify_pairs_jaccard(
     """
     import ray.data as rd
 
-    from log_formatter_ray.ops._shuffle import _canonical, hash_part
+    from log_formatter_ray.ops._shuffle import hash_part, hash_part_cols
 
     schema_types = dict(zip(ds.schema().names, ds.schema().types))
     doc_type = schema_types[id_col]
@@ -578,10 +578,17 @@ def verify_pairs_jaccard(
             return rd.from_arrow(empty)
         pairs = rd.from_pandas(pairs[["a", "b"]].reset_index(drop=True))
     else:
-        # consumed twice below (id broadcast + incidence build) — pin the
-        # SMALL pair set so its upstream (an LSH candidate chain) doesn't
-        # re-execute per consumer
-        pairs = pairs.materialize()
+        # Deduplicate FIRST (the docstring contract — a duplicated pair
+        # would be emitted n× by the local judge and n²× by the
+        # distributed merge), then pin: the set is consumed twice below
+        # (id broadcast + incidence build) and must not re-execute its
+        # upstream LSH chain per consumer.  ``simhash_candidates`` et al.
+        # already emit distinct pairs, so this groupby is over an
+        # already-unique sparse set — cheap.
+        pairs = (
+            pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+            .materialize()
+        )
 
     # Candidate doc-id broadcast: per-batch distinct ids → small driver
     # union (bounded by |candidate docs|, never pairs or texts).
@@ -611,7 +618,9 @@ def verify_pairs_jaccard(
         # id-set filter per batch), but the SPARSE candidate texts coalesce
         # into one block judged in one bulk call — zero shuffles
         pairs_ref = ray.put(
-            pairs.to_pandas()  # ≤ local_pair_limit rows by plan choice
+            # ≤ local_pair_limit rows by plan choice; DataFrame-path input
+            # is already deduped, Dataset-path deduped above
+            pairs.to_pandas()
         )
 
         def pick_minimal(batch: pa.Table) -> pa.Table:
@@ -660,7 +669,8 @@ def verify_pairs_jaccard(
             zero_copy_batch=True,
         ).repartition(1)
         return texts_one.map_batches(
-            judge_all, batch_format="pyarrow", batch_size=None
+            judge_all, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         )
 
     def _dummy_ids(k: int) -> pa.Array:
@@ -725,11 +735,9 @@ def verify_pairs_jaccard(
         inc = g.loc[g["slot"] != -1, ["pa_", "pb_", "slot"]].copy()
         inc["doc"] = g.loc[g["slot"] != -1, "doc"]
         m = inc.merge(tex, on="doc", how="left")
-        h = pd.util.hash_array(_canonical(m["pa_"].to_numpy()), categorize=False)
-        h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
-            _canonical(m["pb_"].to_numpy()), categorize=False
+        m["ppart"] = hash_part_cols(
+            [m["pa_"].to_numpy(), m["pb_"].to_numpy()], coarse, len(m)
         )
-        m["ppart"] = (h % np.uint64(coarse)).astype(np.int32)
         return m[["pa_", "pb_", "slot", "text", "ppart"]]
 
     attached = (

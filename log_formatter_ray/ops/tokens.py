@@ -359,16 +359,24 @@ def pack_sequences_spill(
     stage1 = ds.map_batches(
         _PackAndSpill(packs_dir, context_len, tokens_col, id_col,
                       fill_threshold, "s1"),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     remainder = stage1.repartition(refine_partitions)
     stage2 = remainder.map_batches(
         _PackAndSpill(packs_dir, context_len, tokens_col, id_col, 0.0, "s2"),
-        batch_format="pyarrow", batch_size=None,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
     leftover = stage2.count()  # drives both stages; threshold 0 spills all
     if leftover:
         raise AssertionError(f"refine stage left {leftover} unpacked rows")
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(packs_dir, "*.parquet")):
+        # an empty (or fully-filtered) input is a valid no-op, not a crash
+        return {
+            "path": packs_dir, "n_packs": 0, "n_seqs": 0,
+            "total_tokens": 0, "fill": 0.0,
+        }
     stats = rd.read_parquet(
         packs_dir, columns=["n_tok", "n_seqs"]
     ).materialize()

@@ -59,14 +59,23 @@ def grouped_count(
 
 
 def _quantile_readoff(key_cols: list[str], value_col: str, cnt_col: str,
-                      qfrac: float, out_col: str):
+                      qfrac: float, out_col: str, out_dtype: str):
     """Per coarse partition: pick each key's discrete quantile off the
     cumulative (key, value, count) runs — fully vectorized (one sort + one
-    boolean pick per partition, never one Python call per key)."""
+    boolean pick per partition, never one Python call per key).
+
+    Dtype discipline: the quantile is "an actual data value", so integer
+    inputs come back through pandas nullable ``Int64`` (exact for the full
+    int64 range — a float64 round-trip would corrupt values ≥ 2^53) and
+    float inputs as float64.  Rows with ``cnt == 0`` are key-presence
+    markers (dummy value), excluded from the quantile but kept so an
+    all-null key still emits a null result.  The missing-key fill uses a
+    keys-only merge + typed concat, never a merge that would upcast the
+    value column."""
 
     def fn(g: pd.DataFrame) -> pd.DataFrame:
         all_keys = g[key_cols].drop_duplicates()
-        gg = g[g[value_col].notna()].sort_values(
+        gg = g[g[cnt_col] > 0].sort_values(
             key_cols + [value_col], kind="stable"
         )
         if len(gg):
@@ -90,12 +99,23 @@ def _quantile_readoff(key_cols: list[str], value_col: str, cnt_col: str,
             t_row = target[gid] + 1  # 1-based rank the row must reach
             prev = within - c
             sel = (prev < t_row) & (within >= t_row)
-            picked = gg.loc[sel, key_cols + [value_col]]
-            out = all_keys.merge(picked, on=key_cols, how="left")
+            picked = gg.loc[sel, key_cols + [value_col]].copy()
+            picked[value_col] = picked[value_col].astype(out_dtype)
+            # keys with zero non-null values: keys-only anti-merge (the
+            # value column never participates, so no upcast)
+            marked = all_keys.merge(
+                picked[key_cols], on=key_cols, how="left", indicator=True
+            )
+            missing = all_keys[
+                (marked["_merge"] == "left_only").to_numpy()
+            ].copy()
+            missing[value_col] = pd.array(
+                [pd.NA] * len(missing), dtype=out_dtype
+            )
+            out = pd.concat([picked, missing], ignore_index=True)
         else:  # every value of every key in this partition is null
             out = all_keys.copy()
-            out[value_col] = np.nan
-        out[value_col] = out[value_col].astype(np.float64)
+            out[value_col] = pd.array([pd.NA] * len(out), dtype=out_dtype)
         return out.rename(columns={value_col: out_col})
 
     return fn
@@ -152,9 +172,17 @@ def grouped_quantile_disc(
             {**{k: t1[k] for k in keys}, value_col: t1[value_col],
              "_cnt": t1["count_all"].cast(pa.int64())}
         )
+        # key-presence rows: DUMMY value + cnt=0, never a null (a null in
+        # an int64 value column would float64-upcast the whole column in
+        # the pandas read-off, corrupting values >= 2^53)
+        dummy = (
+            pa.array(np.zeros(len(t2), np.int64)).cast(value_type)
+            if pa.types.is_integer(value_type) or pa.types.is_floating(value_type)
+            else pa.nulls(len(t2), value_type)
+        )
         out2 = pa.table(
             {**{k: t2[k] for k in keys},
-             value_col: pa.nulls(len(t2), value_type),
+             value_col: dummy,
              "_cnt": pa.array(np.zeros(len(t2), np.int64))}
         )
         return pa.concat_tables([out1, out2])
@@ -163,7 +191,30 @@ def grouped_quantile_disc(
         partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     tagged = add_coarse_part(partials, keys, coarse=coarse)
-    return tagged.groupby(PART_COL).map_groups(
-        _quantile_readoff(keys, value_col, "_cnt", q, out_col),
+    out_dtype = "Int64" if pa.types.is_integer(value_type) else "Float64"
+    out = tagged.groupby(PART_COL).map_groups(
+        _quantile_readoff(keys, value_col, "_cnt", q, out_col, out_dtype),
         batch_format="pandas",
+    )
+    # normalize the pandas nullable extension dtype to the plain Arrow
+    # type (int64 / float64, nullable at the Arrow level) so consumers
+    # and the oracle gate see ordinary dtypes
+    target = pa.int64() if pa.types.is_integer(value_type) else pa.float64()
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # rebuild (not set_column): the pandas-extension schema METADATA
+        # survives set_column and would make to_pandas restore Float64
+        return pa.table(
+            {
+                c: (
+                    t[out_col].cast(target)
+                    if c == out_col
+                    else t[c].combine_chunks()
+                )
+                for c in t.column_names
+            }
+        )
+
+    return out.map_batches(
+        finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )

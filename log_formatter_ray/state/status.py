@@ -73,7 +73,12 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             from log_formatter_ray.config import load_config_str
 
-            load_config_str(body)  # mandatory-section validation
+            cfg = load_config_str(body)  # mandatory-section validation
+            # DEEP validation: actually build everything the reloader will
+            # build, so an accepted push can never crash the running job at
+            # the next wave boundary (a malformed route rule / unreadable
+            # lookup must 400 HERE, not raise mid-job)
+            _extract_flagship_overrides(cfg)
         except Exception as ex:  # noqa: BLE001 — any parse error is a 400
             self.send_error(400, f"invalid config: {ex}".replace("\n", " "))
             return
@@ -94,39 +99,67 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
 
+def _extract_flagship_overrides(cfg: dict) -> dict:
+    """The pieces of a (pushed) config the flagship hot-swaps: ``rules``
+    from the ``route`` section and ``lookup`` from an ``enrich`` formatter
+    entry.  Shared by POST-time deep validation and the reloader, so
+    whatever the endpoint accepted is exactly what the reloader can
+    build."""
+    from log_formatter_ray.stages.route import make_router
+
+    out = {}
+    route = cfg.get("route")
+    if route:
+        out["rules"] = make_router(route).rules
+    for entry in (cfg.get("pipeline") or {}).get("formatters", []):
+        (name, sub), = entry.items()
+        if name == "enrich" and sub:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            if "lookup_path" in sub:
+                out["lookup"] = pq.read_table(sub["lookup_path"])
+            elif "lookup" in sub:
+                out["lookup"] = pa.table(sub["lookup"])
+    return out
+
+
 def pushed_config_reloader(out_dir: str):
     """→ a zero-arg callable for ``run_flagship(reload_config=...)``: at
     each wave boundary it checks for a controller-pushed config
     (``POST /config`` above), parses it, and returns the pieces the
-    flagship hot-swaps — ``rules`` from the ``route`` section and
-    ``lookup`` from an ``enrich`` formatter entry.  Each push applies
-    exactly once (the file is renamed to ``.applied``); partitions always
-    run under one config version, recorded in their manifests."""
+    flagship hot-swaps (``_extract_flagship_overrides``).  Each push
+    applies exactly once; partitions always run under one config version,
+    recorded in their manifests.
+
+    Race-free hand-off: the reloader CLAIMS the file with an atomic rename
+    BEFORE reading it, so a push landing mid-reload stays at the pushed
+    path for the next wave instead of being renamed away unapplied; a
+    config that fails to build (possible only if the file bypassed the
+    endpoint's deep validation) is quarantined to ``.rejected`` with a
+    warning rather than crashing the running job."""
+    import logging
 
     path = os.path.join(out_dir, PUSHED_CONFIG_NAME)
+    claimed = path + ".applying"
 
     def reload():
-        if not os.path.exists(path):
+        try:
+            os.replace(path, claimed)  # atomic claim-before-read
+        except FileNotFoundError:
             return None
         from log_formatter_ray.config import load_config_file
-        from log_formatter_ray.stages.route import make_router
 
-        cfg = load_config_file(path)
-        os.replace(path, path + ".applied")
-        out = {}
-        route = cfg.get("route")
-        if route:
-            out["rules"] = make_router(route).rules
-        for entry in (cfg.get("pipeline") or {}).get("formatters", []):
-            (name, sub), = entry.items()
-            if name == "enrich" and sub:
-                import pyarrow as pa
-                import pyarrow.parquet as pq
-
-                if "lookup_path" in sub:
-                    out["lookup"] = pq.read_table(sub["lookup_path"])
-                elif "lookup" in sub:
-                    out["lookup"] = pa.table(sub["lookup"])
+        try:
+            out = _extract_flagship_overrides(load_config_file(claimed))
+        except Exception:  # noqa: BLE001 — never crash the job mid-run
+            logging.getLogger("log_formatter_ray").warning(
+                "pushed config failed to build; quarantined to .rejected",
+                exc_info=True,
+            )
+            os.replace(claimed, path + ".rejected")
+            return None
+        os.replace(claimed, path + ".applied")
         return out or None
 
     return reload

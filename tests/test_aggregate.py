@@ -80,7 +80,7 @@ def test_grouped_quantile_disc_matches_duckdb_and_bounds_skew():
 
     assert got["hot"] == disc_q(hot_vals)
     assert got["cold"] == disc_q(cold_vals)
-    assert np.isnan(got["allnull"])
+    assert pd.isna(got["allnull"])  # nullable Float64 → NA, not NaN
     exp = duckdb.sql(
         "SELECT k, quantile_disc(v, 0.95) AS p95 FROM df GROUP BY k"
     ).df().set_index("k")["p95"]
@@ -90,3 +90,20 @@ def test_grouped_quantile_disc_matches_duckdb_and_bounds_skew():
     partials = grouped_count(ds, ["k", "v"], count_alias="_cnt").to_pandas()
     hot_rows = (partials["k"] == "hot").sum()
     assert hot_rows <= 101  # 100 distinct values (+1 null), never 99k rows
+
+
+def test_grouped_quantile_disc_int64_exact():
+    """Integer values survive the whole plan exactly — no float64 leg
+    anywhere (2^62-range values would corrupt above 2^53)."""
+    import pandas as pd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    big = 2**62 + 1
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"], "v": [big, big + 2, big + 4, big]})
+    got = (
+        grouped_quantile_disc(rd.from_pandas(df), ["k"], "v", 0.5, out_col="p")
+        .to_pandas().set_index("k")["p"]
+    )
+    assert int(got["a"]) == big + 2
+    assert int(got["b"]) == big

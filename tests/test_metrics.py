@@ -96,6 +96,18 @@ output: {parquet: {path: unused}}
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+        # deep validation: sections present but the route rule is
+        # malformed (no sink) — must 400 at POST time, never crash the
+        # job at the next wave boundary
+        try:
+            post(
+                "input: {parquet: {path: x}}\npipeline: {}\n"
+                "route: {rules: [{when: [{field: n_tok, op: '>=', value: 0}]}]}\n"
+                "output: {parquet: {path: x}}"
+            )
+            raise AssertionError("expected 400 for sink-less rule")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
         assert not os.path.exists(os.path.join(out, "_config_push.yml"))
 
         inner = pushed_config_reloader(out)

@@ -154,3 +154,19 @@ def test_token_histogram_out_of_range_ids_dropped():
     assert hist.shape == (10,)
     assert hist[1] == 1 and hist[2] == 2
     assert hist.sum() == 3  # 99 and -5 dropped, no crash
+
+
+def test_pack_sequences_spill_empty_input(tmp_path):
+    """An empty (or fully-filtered) input is a valid no-op: zero stats,
+    no crash on the empty output directory."""
+    from log_formatter_ray.ops.tokens import pack_sequences_spill
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+    res = pack_sequences_spill(rd.from_arrow(t), str(tmp_path))
+    assert res["n_packs"] == 0 and res["n_seqs"] == 0
+    assert res["total_tokens"] == 0 and res["fill"] == 0.0
