@@ -205,6 +205,84 @@ def add_clean_text(
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage: two-pass corpus-relative quality score
+# ---------------------------------------------------------------------------
+
+def build_top_vocab(ds, k: int = 10_000, text_col: str = "text"):
+    """Pass 1 of ``vocab_coverage``: the corpus's ``k`` most frequent
+    space-split words → small pyarrow StringArray (deterministic tie-break:
+    count desc, word asc).
+
+    Distributed word counting with per-block partial aggregation (each
+    block collapses to its distinct words before the shuffle — the
+    ``top_terms_per_lang`` pattern without the group key); only the final
+    k-row vocabulary reaches the driver, bounded by ``k`` regardless of
+    corpus size."""
+    import pandas as pd
+
+    def word_counts(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        t = pa.table({"word": words.flatten()})
+        agg = t.group_by(["word"]).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["n" if c == "count_all" else c for c in agg.column_names]
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            word_counts, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = (
+        counts.sort(["n", "word"], descending=[True, False]).limit(k)
+        .to_pandas()
+    )
+    return pa.array(pd.unique(top["word"]))
+
+
+def vocab_coverage(ds, vocab: pa.Array, text_col: str = "text"):
+    """Pass 2: per-document vocabulary hit counting against the broadcast
+    ``vocab`` (from ``build_top_vocab``) — a corpus-relative quality score
+    (in-vocab ratio) whose raw outputs are INTEGERS (``n_words``,
+    ``n_in_vocab``), so the metric is exactly reproducible (no float
+    aggregate).  Adds ``n_words``, ``n_in_vocab``, ``vocab_ratio``."""
+    import ray
+
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        # null text scores as "" (one empty word) — keeps flatten/offsets
+        # aligned (flatten drops null lists, desyncing per-row sums)
+        words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = _list_offsets(words)
+        flat = words.flatten()
+        hit = pc.is_in(flat, value_set=ray.get(vocab_ref)).to_numpy(
+            zero_copy_only=False
+        )
+        n_words = np.diff(offsets).astype(np.int64)
+        n_in = _per_row_sum(np.asarray(hit, dtype=np.int64), offsets)
+        batch = batch.append_column("n_words", pa.array(n_words))
+        batch = batch.append_column("n_in_vocab", pa.array(n_in))
+        return batch.append_column(
+            "vocab_ratio",
+            pa.array(n_in / np.maximum(n_words, 1), pa.float64()),
+        )
+
+    return ds.map_batches(
+        score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language ID: character n-gram profile heuristic (public-knowledge approach:
 # Cavnar & Trenkle '94 n-gram rank profiles, reduced to a tiny stopword/char
 # prior — deterministic, dependency-free).

@@ -599,6 +599,38 @@ FROM (
 """
 
 
+def q_vocab_coverage_documents(sf_dir: str):
+    """Corpus-relative quality scoring: two-pass vocabulary coverage —
+    pass 1 builds the corpus's top-500 word vocabulary (distributed
+    partial counts, k-bounded driver collect), pass 2 scores every doc's
+    in-vocab word count against the broadcast vocabulary.  Integer
+    outputs → exact oracle."""
+    from log_formatter_ray.ops.textstats import build_top_vocab, vocab_coverage
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_top_vocab(ds, k=500)
+    return vocab_coverage(ds, vocab).select_columns(
+        ["doc_id", "n_words", "n_in_vocab"]
+    )
+
+
+_SQL_VOCAB_COVERAGE_DOCUMENTS = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS n FROM words GROUP BY word
+    ORDER BY n DESC, word LIMIT 500)),
+hits AS (
+  SELECT w.doc_id, CAST(COUNT(v.word) AS BIGINT) AS n_in_vocab
+  FROM words w LEFT JOIN vocab v ON w.word = v.word GROUP BY w.doc_id)
+SELECT d.doc_id, len(string_split(coalesce(d.text, ''), ' ')) AS n_words,
+       h.n_in_vocab
+FROM documents d JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
 def q_rolling_fingerprint_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(add_rolling_fingerprint, batch_format="pyarrow", batch_size=None, zero_copy_batch=True).select_columns(
@@ -1246,6 +1278,7 @@ QUERIES = {
     "clean_text_documents": q_clean_text_documents,
     "quantize_embeddings": q_quantize_embeddings,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
+    "vocab_coverage_documents": q_vocab_coverage_documents,
     "langid_documents": q_langid_documents,
     "window_events_hourly": q_window_events_hourly,
     "sliding_window_events": q_sliding_window_events,
@@ -1303,6 +1336,7 @@ ORACLE_SQL = {
     "distinct_embeddings": _SQL_DISTINCT_EMBEDDINGS,
     "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     "langid_documents": _SQL_LANGID_DOCUMENTS,
+    "vocab_coverage_documents": _SQL_VOCAB_COVERAGE_DOCUMENTS,
 }
 
 

@@ -199,3 +199,39 @@ def test_clean_text_normalizes():
 
     t = pa.table({"text": ["  Hello   WORLD \t x ", "a\n\nb"]})
     assert add_clean_text(t)["clean_text"].to_pylist() == ["hello world x", "a b"]
+
+
+def test_vocab_coverage_two_pass():
+    """build_top_vocab + vocab_coverage vs a pure-Python oracle, including
+    the deterministic tie-break at the k boundary and a null text."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from log_formatter_ray.ops.textstats import build_top_vocab, vocab_coverage
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat",
+        "zebra yak xylophone",
+        None,
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    ds = rd.from_arrow(t).repartition(2)
+    k = 4
+    vocab = build_top_vocab(ds, k=k)
+    counts = Counter(
+        w for s in texts for w in (s or "").split(" ")
+    )
+    exp_vocab = [w for w, _ in sorted(counts.items(), key=lambda x: (-x[1], x[0]))[:k]]
+    assert sorted(vocab.to_pylist()) == sorted(exp_vocab)
+
+    out = (
+        vocab_coverage(ds, vocab)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    vs = set(exp_vocab)
+    for i, s in enumerate(texts):
+        words = (s or "").split(" ")
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_in_vocab"] == sum(w in vs for w in words)
