@@ -32,7 +32,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from log_formatter_ray.pipelines.queries import oracle_sf_dir
 
         corpus, rows = sequences_dir_for(oracle_sf_dir())
-        generate_sequences(corpus, rows, num_files=16)
+        generate_sequences(corpus, rows, num_files=64)
     except Exception:  # noqa: BLE001 — queries() must never fail on pregen
         pass
 

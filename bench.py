@@ -84,7 +84,7 @@ def run_bench() -> dict:
 
     # --- headline: flagship over the canonical sequences corpus ------------
     corpus, rows = sequences_dir_for(SF_DIR)
-    generate_sequences(corpus, rows, num_files=16)
+    generate_sequences(corpus, rows, num_files=64)
     # warm the OS page cache (measure compute+shuffle, not first disk read)
     import pyarrow.parquet as pq
     import glob

@@ -1002,7 +1002,7 @@ def q_flagship_sequences(sf_dir: str):
     import shutil
 
     corpus, rows = sequences_dir_for(sf_dir)
-    generate_sequences(corpus, rows, num_files=16)
+    generate_sequences(corpus, rows, num_files=64)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix="lfr_flagship_", dir=base)
     try:
@@ -1041,7 +1041,7 @@ def _sequences_ds(sf_dir: str):
     from log_formatter_ray.fixtures import generate_sequences
 
     corpus, rows = sequences_dir_for(sf_dir)
-    generate_sequences(corpus, rows, num_files=16)
+    generate_sequences(corpus, rows, num_files=64)
     return rd.read_parquet_bulk(
         sorted(os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet"))
     )
