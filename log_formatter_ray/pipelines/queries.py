@@ -456,7 +456,7 @@ def q_simhash_documents(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    ds = _tbl(sf_dir, "embeddings")
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_dup_pairs(ds, threshold=0.9, nbits=6)
 
 
@@ -900,7 +900,7 @@ def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
 
 
 def q_ann_top10(sf_dir: str):
-    ds = _tbl(sf_dir, "embeddings")
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q0 = _query_vector(sf_dir, 0)
     out = brute_force_topk(ds, q0, k=10, exclude_ids={0}, concurrency=2)
     return pa.table({"vec_id": pa.array(out["vec_id"].tolist(), pa.int64())})
@@ -922,7 +922,7 @@ def q_ann_multi_top5(sf_dir: str):
     q.qid — a global exclude set would wrongly hide a query vector from
     OTHER queries' results)."""
     qids = [0, 1, 2]
-    ds = _tbl(sf_dir, "embeddings")
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     Q = np.stack([_query_vector(sf_dir, i) for i in qids])
     out = brute_force_topk(ds, Q, k=6, concurrency=2)  # +1 overfetch for self
     qid_of = np.array(qids, dtype=np.int64)[out["query_idx"].to_numpy()]
@@ -953,7 +953,7 @@ WHERE rn <= 5
 
 
 def _ivf_top10(sf_dir: str, nprobe: int):
-    ds = _tbl(sf_dir, "embeddings")
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q0 = _query_vector(sf_dir, 0)
     idx = IVFIndex(n_clusters=16, iters=5).fit(ds)
     assigned = idx.assign(ds)
