@@ -135,9 +135,14 @@ def run_bench() -> dict:
 # and it lives on tmpfs because single-disk writeback is a one-box artifact
 # a multi-node cluster's per-node disks don't share.  BASELINE.md records
 # the numbers at every pair.
-SCALE_ROWS = 6_000_000
+SCALE_ROWS = int(os.environ.get("GRAFT_SCALE_ROWS", 6_000_000))
 SCALE_FILES = 256
-SCALE_LEVELS = (2, 8)
+# N and 4N; override e.g. GRAFT_SCALE_LEVELS=1,4 — the narrower pair
+# exercises less memory-bus width, isolating engine scaling from host
+# bandwidth contention on a noisy box (see BASELINE.md round 3)
+SCALE_LEVELS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALE_LEVELS", "2,8").split(",")
+)
 
 
 def _scaling_corpus() -> str:
