@@ -477,6 +477,48 @@ def q_jaccard_near_dups(sf_dir: str):
     return verify_pairs_jaccard(ds, cands, threshold=0.8).select_columns(["a", "b"])
 
 
+def q_dedup_near_documents(sf_dir: str):
+    """The resumable near-dedup JOB end to end (cluster checkpoint +
+    manifest-gated filtered rewrite) over a sharded copy of the documents
+    table; returns the job totals.  LSH-defined → rows-only; resume and
+    invalidation semantics are tested in tests/test_dedup_job.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from log_formatter_ray.pipelines.dedup_job import run_dedup_job
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    src = os.path.join(base, "lfr_dedupjob_src", name)
+    if not os.path.exists(os.path.join(src, "_SHARDED")):
+        os.makedirs(src, exist_ok=True)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        n_shards = 4
+        step = (len(t) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            pq.write_table(
+                t.slice(s * step, step),
+                os.path.join(src, f"shard-{s:03d}.parquet"),
+            )
+        open(os.path.join(src, "_SHARDED"), "w").write("ok")
+    out = tempfile.mkdtemp(prefix="lfr_dedupjob_", dir=base)
+    try:
+        res = run_dedup_job(src, out, threshold=0.5)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table(
+        {
+            "rows_in": pa.array([res.rows_in], pa.int64()),
+            "rows_kept": pa.array([res.rows_kept], pa.int64()),
+            "n_dup_ids": pa.array([res.n_dup_ids], pa.int64()),
+        }
+    )
+
+
 def q_token_count_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
@@ -1268,6 +1310,7 @@ QUERIES = {
     "sort_limit_documents": q_sort_limit_documents,
     "topk_users": q_topk_users,
     "dedup_exact_documents": q_dedup_exact_documents,
+    "dedup_near_documents": q_dedup_near_documents,
     "minhash_clusters_documents": q_minhash_clusters_documents,
     "simhash_documents": q_simhash_documents,
     "embedding_dups": q_embedding_dups,
