@@ -131,3 +131,43 @@ def approx_distinct_per_key(ds, key: str, col: str):
         )
 
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+def approx_distinct_per_window(
+    ds, ts_col: str, col: str, unit: str = "hour", out_key: str = "window"
+):
+    """Windowed approximate COUNT(DISTINCT col) — e.g. "approx unique users
+    per hour" → Dataset (window:timestamp[us], approx_n:int64).
+
+    Composition of the tumbling-window floor (``ops/window.py``) with the
+    per-key mergeable-HLL reduce: per (block × window) 4 KB sketches are
+    the only thing that shuffles, so a corpus-scale hour still costs
+    |blocks| sketch rows, never its event count.  Windows ride the shuffle
+    as int64 micros (Ray's sort groupby pickles nullable timestamps) and
+    are recast at the end; null timestamps form their own null window."""
+    import pyarrow.compute as _pc
+
+    def floor_to_int(b: pa.Table) -> pa.Table:
+        w = _pc.floor_temporal(b[ts_col], unit=unit)
+        return pa.table(
+            {
+                out_key: _pc.cast(w, pa.int64()).combine_chunks(),
+                col: b[col].combine_chunks(),
+            }
+        )
+
+    win = ds.map_batches(
+        floor_to_int, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    out = approx_distinct_per_key(win, out_key, col)
+
+    def recast(t: pa.Table) -> pa.Table:
+        i = t.column_names.index(out_key)
+        return t.set_column(
+            i, out_key, _pc.cast(t[out_key], pa.timestamp("us"))
+        )
+
+    return out.map_batches(
+        recast, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

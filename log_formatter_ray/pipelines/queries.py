@@ -313,6 +313,16 @@ def q_approx_users_per_type(sf_dir: str):
     return approx_distinct_per_key(ds, "event_type", "user_id")
 
 
+def q_approx_users_per_hour(sf_dir: str):
+    """Windowed approximate distinct (tumbling hour × per-key HLL merge) —
+    approximate by design → rows-only; per-window tolerance vs exact is
+    asserted in tests."""
+    from log_formatter_ray.ops.sketch import approx_distinct_per_window
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id"])
+    return approx_distinct_per_window(ds, "ts", "user_id", unit="hour")
+
+
 def q_route_events(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
     router = Router(
@@ -1302,6 +1312,7 @@ QUERIES = {
     "ann_multi_top5": q_ann_multi_top5,
     "approx_distinct_users": q_approx_distinct_users,
     "approx_users_per_type": q_approx_users_per_type,
+    "approx_users_per_hour": q_approx_users_per_hour,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
     "tpch_q1_style": q_tpch_q1_style,

@@ -227,3 +227,44 @@ def test_range_count_join_with_nulls_matches_pandas():
                & (df.ts <= a.ts + pd.Timedelta(seconds=600))]
         exp.append(len(m))
     assert got["n_in_range"].tolist() == exp
+
+
+def test_approx_distinct_per_window_within_tolerance():
+    """Tumbling-window × HLL composition: per-hour approx distinct within
+    HLL tolerance of exact, null timestamps in their own window."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import approx_distinct_per_window
+
+    rng = np.random.default_rng(4)
+    n = 40_000
+    hours = rng.integers(0, 4, n)  # 4 hourly windows
+    ts_vals = (
+        (hours * 3600 + rng.integers(0, 3600, n)) * 1_000_000
+    ).astype("datetime64[us]")
+    null_mask = rng.random(n) < 0.02
+    users = np.array([f"u{int(i)}" for i in rng.integers(0, 3000, n)], object)
+    t = pa.table(
+        {
+            "ts": pa.array(ts_vals, mask=null_mask),
+            "user_id": pa.array(users),
+        }
+    )
+    got = (
+        approx_distinct_per_window(
+            rd.from_arrow(t).repartition(6), "ts", "user_id", unit="hour"
+        )
+        .to_pandas()
+    )
+    df = t.to_pandas()
+    df["w"] = df["ts"].dt.floor("h")
+    exact = df.groupby("w", dropna=False)["user_id"].nunique()
+    assert len(got) == len(exact)  # 4 hours + the null window
+    got = got.set_index("window")["approx_n"]
+    for w, ex in exact.items():
+        key = w if not pd.isna(w) else pd.NaT
+        g = got[key] if not pd.isna(w) else got[got.index.isna()].iloc[0]
+        assert abs(g - ex) / ex < 0.06, (w, g, ex)
