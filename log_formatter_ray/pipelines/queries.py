@@ -745,6 +745,29 @@ GROUP BY 1, 2
 """
 
 
+def q_top_users_per_hour(sf_dir: str):
+    """Windowed top-k composition: tumbling-hour per-user counts (partial
+    agg before the shuffle) → per-window top-3 users — the 'trending
+    users per hour' shape, fully oracle-checked."""
+    from log_formatter_ray.ops.window import topk_per_group
+
+    ds = _tbl(sf_dir, "events", columns=["ts", "user_id"])
+    counts = tumbling_window_count(
+        ds, unit="hour", keys=["user_id"], count_alias="n"
+    )
+    return topk_per_group(counts, ["window"], "n", k=3, tiebreak_cols=["user_id"])
+
+
+_SQL_TOP_USERS_PER_HOUR = """
+SELECT "window", user_id, n FROM (
+  SELECT "window", user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY "window" ORDER BY n DESC, user_id) AS rn
+  FROM (SELECT date_trunc('hour', ts) AS "window", user_id, COUNT(*) AS n
+        FROM events GROUP BY 1, 2))
+WHERE rn <= 3
+"""
+
+
 def q_topk_users_per_type(sf_dir: str):
     from log_formatter_ray.ops.window import topk_per_group
 
@@ -1337,6 +1360,7 @@ QUERIES = {
     "window_events_hourly": q_window_events_hourly,
     "sliding_window_events": q_sliding_window_events,
     "topk_users_per_type": q_topk_users_per_type,
+    "top_users_per_hour": q_top_users_per_hour,
     "running_seq_events": q_running_seq_events,
     "sessionize_events": q_sessionize_events,
     "ann_top10": q_ann_top10,
@@ -1382,6 +1406,7 @@ ORACLE_SQL = {
     "window_events_hourly": _SQL_WINDOW_EVENTS_HOURLY,
     "sliding_window_events": _SQL_SLIDING_WINDOW_EVENTS,
     "topk_users_per_type": _SQL_TOPK_USERS_PER_TYPE,
+    "top_users_per_hour": _SQL_TOP_USERS_PER_HOUR,
     "running_seq_events": _SQL_RUNNING_SEQ_EVENTS,
     "sessionize_events": _SQL_SESSIONIZE_EVENTS,
     "ann_top10": _SQL_ANN_TOP10,
