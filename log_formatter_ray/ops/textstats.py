@@ -330,3 +330,55 @@ class LangIdScorer:
         best[scores.max(axis=1) == 0] = "und"
         best[has_cjk > 0] = "zh"
         return batch.append_column(self.out_col, pa.array(best, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Word explode (vectorized flat_map) and regex redaction
+# ---------------------------------------------------------------------------
+
+def explode_words(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Explode each document into (id, pos, word) rows — the vectorized
+    flat_map: one ``split_pattern``, one ``flatten``, two ``np.repeat``s;
+    no per-row loop.  ``pos`` is 1-based (DuckDB
+    ``UNNEST(generate_series(1, len(ws)))`` parity)."""
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = _list_offsets(words).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    ids = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False), counts
+    )
+    pos = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+        offsets[:-1], counts
+    ) + 1
+    return pa.table({
+        id_col: pa.array(ids),
+        "pos": pa.array(pos),
+        "word": words.flatten().combine_chunks()
+        if isinstance(words.flatten(), pa.ChunkedArray) else words.flatten(),
+    })
+
+
+# RE2 on both sides: pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace are both RE2, so redaction output matches exactly.
+REDACT_PATTERN = r"\b(key|hash)\b"
+REDACT_TOKEN = "<TERM>"
+
+
+def redact_text(batch: pa.Table, text_col: str = "text",
+                pattern: str = REDACT_PATTERN, token: str = REDACT_TOKEN,
+                out_col: str = "redacted", count_col: str = "n_redacted") -> pa.Table:
+    """PII-style regex redaction: replace every match of ``pattern`` with
+    ``token`` and count replacements — two RE2 scans, no Python loop.
+    (Oracle: ``regexp_replace(text, p, t, 'g')`` +
+    ``len(regexp_extract_all(text, p))``.)"""
+    text = batch[text_col]
+    red = pc.replace_substring_regex(text, pattern=pattern, replacement=token)
+    n = pc.count_substring_regex(text, pattern).cast(pa.int64())
+    batch = batch.append_column(out_col, red.combine_chunks()
+                                if isinstance(red, pa.ChunkedArray) else red)
+    return batch.append_column(count_col, n.combine_chunks()
+                               if isinstance(n, pa.ChunkedArray) else n)

@@ -1312,6 +1312,93 @@ SELECT COUNT(DISTINCT embedding) AS n FROM embeddings
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination, word explode, regex redaction
+# ---------------------------------------------------------------------------
+
+def q_decontaminate_documents(sf_dir: str):
+    """Eval-set decontamination: documents sharing NO word 3-gram with the
+    'benchmark' subset (doc_id % 97 = 0) survive.  Broadcast-small-side
+    plan — the benchmark gram-hash set ships once via ``ray.put``; the
+    corpus streams through one vectorized ``map_batches`` (ops/decontam.py)."""
+    from log_formatter_ray.ops.decontam import benchmark_ngram_hashes, decontaminate
+
+    def _mod_filter(keep_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            # no pc.modulo kernel in this pyarrow — numpy on the int64 column
+            is_bench = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return b.filter(pa.array(is_bench if keep_bench else ~is_bench))
+        return fn
+
+    bench = _tbl(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _mod_filter(True), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    grams = benchmark_ngram_hashes(bench, n=3)
+    corpus = _tbl(
+        sf_dir, "documents", columns=["doc_id", "text", "lang", "n_chars"]
+    ).map_batches(
+        _mod_filter(False), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    clean = decontaminate(corpus, grams, n=3)
+    return clean.select_columns(["doc_id", "lang", "n_chars"])
+
+
+_SQL_DECONTAMINATE_DOCUMENTS = """
+WITH corpus AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM corpus, UNNEST(generate_series(1, len(ws)-2)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+contaminated AS (
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+  WHERE gr.doc_id % 97 <> 0
+)
+SELECT doc_id, lang, n_chars FROM corpus
+WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+def q_explode_words(sf_dir: str):
+    """Vectorized flat_map: every document exploded to (doc_id, pos, word)
+    rows — exact positional oracle for the explode/unnest operator."""
+    from log_formatter_ray.ops.textstats import explode_words
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(explode_words, batch_format="pyarrow",
+                          batch_size=None, zero_copy_batch=True)
+
+
+_SQL_EXPLODE_WORDS = """
+WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS pos, ws[i] AS word
+FROM corpus, UNNEST(generate_series(1, len(ws))) AS t(i)
+"""
+
+
+def q_redact_documents(sf_dir: str):
+    """Regex redaction (PII-scrub shape): RE2 on both sides, so the
+    redacted text matches the oracle byte-for-byte."""
+    from log_formatter_ray.ops.textstats import redact_text
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(redact_text, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "redacted", "n_redacted"])
+
+
+_SQL_REDACT_DOCUMENTS = r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(key|hash)\b', '<TERM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '\b(key|hash)\b')) AS BIGINT) AS n_redacted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1374,6 +1461,9 @@ QUERIES = {
     "pack_sequences_global": q_pack_sequences_global,
     "token_histogram_top": q_token_histogram_top,
     "distinct_embeddings": q_distinct_embeddings,
+    "decontaminate_documents": q_decontaminate_documents,
+    "explode_words": q_explode_words,
+    "redact_documents": q_redact_documents,
 }
 
 ORACLE_SQL = {
@@ -1416,6 +1506,9 @@ ORACLE_SQL = {
     "quantize_embeddings": _SQL_QUANTIZE_EMBEDDINGS,
     "langid_documents": _SQL_LANGID_DOCUMENTS,
     "vocab_coverage_documents": _SQL_VOCAB_COVERAGE_DOCUMENTS,
+    "decontaminate_documents": _SQL_DECONTAMINATE_DOCUMENTS,
+    "explode_words": _SQL_EXPLODE_WORDS,
+    "redact_documents": _SQL_REDACT_DOCUMENTS,
 }
 
 

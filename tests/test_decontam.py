@@ -1,0 +1,131 @@
+"""Decontamination (ops/decontam.py), word explode, and regex redaction:
+vectorized kernels vs brute-force / DuckDB references."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.ops.decontam import (
+    _word_ngram_hashes,
+    benchmark_ngram_hashes,
+    decontaminate,
+    flag_contaminated,
+)
+from log_formatter_ray.ops.dedup import _stable_hash64
+from log_formatter_ray.ops.textstats import explode_words, redact_text
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _brute_ngrams(text: str, n: int) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_word_ngram_hashes_match_brute_force(n):
+    texts = [
+        "a b c d e",
+        "x",                      # fewer than n words -> zero grams
+        "",                       # one empty-string word
+        "p q " + "r " * 20 + "s",
+        "a b c d e",              # duplicate row
+    ]
+    h, row_off = _word_ngram_hashes(pa.array(texts), n)
+    assert len(row_off) == len(texts) + 1
+    for i, t in enumerate(texts):
+        grams = _brute_ngrams(t, n)
+        got = h[row_off[i]:row_off[i + 1]]
+        assert len(got) == len(grams)
+        if grams:
+            np.testing.assert_array_equal(got, _stable_hash64(grams))
+
+
+def test_word_ngram_hashes_on_sliced_batch():
+    """A mid-table slice (non-zero-based list offsets) must hash the same
+    grams as the full-table pass — the Ray block-slicing case."""
+    t = pq.read_table(DOCS, columns=["text"])
+    full_h, full_off = _word_ngram_hashes(t["text"], 3)
+    s = t.slice(7, 11)
+    h, off = _word_ngram_hashes(s["text"], 3)
+    np.testing.assert_array_equal(h, full_h[full_off[7]:full_off[18]])
+
+
+def test_flag_and_decontaminate_match_duckdb():
+    docs = pq.read_table(DOCS)
+    ds = rd.from_arrow(docs).map_batches(
+        lambda b: b, batch_format="pyarrow", batch_size=None
+    )
+
+    def is_bench(b):
+        return b.filter(pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 7 == 0))
+
+    bench = rd.from_arrow(docs).map_batches(
+        is_bench, batch_format="pyarrow", batch_size=None
+    )
+    grams = benchmark_ngram_hashes(bench, n=3)
+    assert grams.dtype == np.uint64
+    assert np.all(grams[:-1] <= grams[1:])  # sorted for searchsorted probes
+
+    clean = decontaminate(
+        rd.from_arrow(docs).map_batches(
+            lambda b: b.filter(
+                pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 7 != 0)),
+            batch_format="pyarrow", batch_size=None),
+        grams, n=3,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    want = con.execute("""
+        WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        grams AS (SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+                  FROM corpus, UNNEST(generate_series(1, len(ws)-2)) AS t(i)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+        SELECT doc_id FROM corpus
+        WHERE doc_id % 7 <> 0 AND doc_id NOT IN (
+            SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g
+            WHERE gr.doc_id % 7 <> 0)
+        ORDER BY doc_id
+    """).fetchdf()
+    np.testing.assert_array_equal(clean["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+
+
+def test_flag_contaminated_empty_benchmark():
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c"}])
+    out = flag_contaminated(ds, np.empty(0, dtype=np.uint64)).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_explode_words_positions():
+    t = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                  "text": pa.array(["a b c", "x y"])})
+    out = explode_words(t).to_pandas()
+    assert out["doc_id"].tolist() == [10, 10, 10, 11, 11]
+    assert out["pos"].tolist() == [1, 2, 3, 1, 2]
+    assert out["word"].tolist() == ["a", "b", "c", "x", "y"]
+
+
+def test_explode_words_sliced_batch_matches_full():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    full = explode_words(t).to_pandas()
+    part = explode_words(t.slice(3, 5)).to_pandas()
+    sub = full[full["doc_id"].isin(part["doc_id"])].reset_index(drop=True)
+    assert part.equals(sub)
+
+
+def test_redact_matches_duckdb():
+    t = pq.read_table(DOCS, columns=["doc_id", "text"])
+    got = redact_text(t).to_pandas()[["doc_id", "redacted", "n_redacted"]]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{DOCS}'")
+    want = con.execute(r"""
+        SELECT doc_id, regexp_replace(text, '\b(key|hash)\b', '<TERM>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(text, '\b(key|hash)\b')) AS BIGINT) AS n_redacted
+        FROM documents
+    """).fetchdf()
+    assert got.equals(want)
