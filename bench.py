@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "jaccard_near_dups",
     "p95_value_per_type",
     "pack_sequences_global",
+    "decontaminate_documents",
 ]
 
 
