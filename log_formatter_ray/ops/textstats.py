@@ -382,3 +382,40 @@ def redact_text(batch: pa.Table, text_col: str = "text",
                                 if isinstance(red, pa.ChunkedArray) else red)
     return batch.append_column(count_col, n.combine_chunks()
                                if isinstance(n, pa.ChunkedArray) else n)
+
+
+def dup_ngram_stats(batch: pa.Table, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> pa.Table:
+    """Within-document duplicate word-n-gram counts — the Gopher-style
+    repetition quality signal ("fraction of duplicate n-grams"): documents
+    that repeat the same n-gram many times are boilerplate/spam.
+
+    Fully vectorized across the batch: one shared n-gram-hash pass
+    (``ops.decontam._word_ngram_hashes`` — O(n) whole-column concats, one
+    stable-hash call), then per-row distinct counts via one ``lexsort`` +
+    run-boundary ``bincount``.  No shuffle; each row's stats depend only
+    on its own text.  Distinctness is by 64-bit stable hash — a within-doc
+    collision (≈ |grams|²/2⁶⁵ per doc) could overcount duplicates by one;
+    negligible and documented.
+
+    Output: ``(id_col, n_grams:int64, n_dup_grams:int64)`` where
+    ``n_dup_grams = n_grams − |distinct grams|``.  Integer counts, not a
+    float ratio, so the DuckDB oracle compares exactly.
+    """
+    from log_formatter_ray.ops.decontam import _word_ngram_hashes
+
+    h, row_off = _word_ngram_hashes(batch[text_col], n)
+    n_grams = np.diff(row_off)
+    gid = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_grams)
+    distinct = np.zeros(batch.num_rows, dtype=np.int64)
+    if h.size:
+        order = np.lexsort((h, gid))
+        hs, gs = h[order], gid[order]
+        new = np.ones(hs.size, dtype=bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (gs[1:] != gs[:-1])
+        distinct = np.bincount(gs[new], minlength=batch.num_rows)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_grams": pa.array(n_grams.astype(np.int64)),
+        "n_dup_grams": pa.array(n_grams.astype(np.int64) - distinct),
+    })

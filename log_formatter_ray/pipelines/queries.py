@@ -1398,6 +1398,59 @@ FROM documents
 """
 
 
+def q_dup_ngram_documents(sf_dir: str):
+    """Within-doc duplicate 3-gram counts (Gopher-style repetition quality
+    signal): one vectorized pass, no shuffle — each row's stats depend only
+    on its own text.  Integer counts so the oracle compares exactly; docs
+    with fewer than 3 words are excluded to mirror the oracle's gram CTE."""
+    from log_formatter_ray.ops.textstats import dup_ngram_stats
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(dup_ngram_stats, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
+    return out.map_batches(
+        lambda b: b.filter(pc.greater(b["n_grams"], 0)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+_SQL_DUP_NGRAM_DOCUMENTS = """
+WITH corpus AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM corpus, UNNEST(generate_series(1, len(ws)-2)) AS t(i)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) - COUNT(DISTINCT g) AS BIGINT) AS n_dup_grams
+FROM grams GROUP BY doc_id
+"""
+
+
+def q_percentile_filter_documents(sf_dir: str):
+    """Global percentile filter (two-pass, the at-scale plan): pass 1
+    collapses the corpus to (value, count) partials and reads the exact
+    discrete p75 of ``n_chars`` off the cumulative counts
+    (``corpus_quantile_disc`` — raw rows never shuffle); pass 2 streams the
+    corpus through a vectorized threshold filter with the scalar captured
+    in the closure."""
+    from log_formatter_ray.stages.aggregate import corpus_quantile_disc
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    thr = corpus_quantile_disc(ds, "n_chars", 0.75)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_chars"], thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+_SQL_PERCENTILE_FILTER_DOCUMENTS = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1464,6 +1517,8 @@ QUERIES = {
     "decontaminate_documents": q_decontaminate_documents,
     "explode_words": q_explode_words,
     "redact_documents": q_redact_documents,
+    "dup_ngram_documents": q_dup_ngram_documents,
+    "percentile_filter_documents": q_percentile_filter_documents,
 }
 
 ORACLE_SQL = {
@@ -1509,6 +1564,8 @@ ORACLE_SQL = {
     "decontaminate_documents": _SQL_DECONTAMINATE_DOCUMENTS,
     "explode_words": _SQL_EXPLODE_WORDS,
     "redact_documents": _SQL_REDACT_DOCUMENTS,
+    "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
+    "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
 }
 
 

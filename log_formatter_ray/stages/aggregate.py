@@ -218,3 +218,29 @@ def grouped_quantile_disc(
     return out.map_batches(
         finalize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def corpus_quantile_disc(ds, value_col: str, q: float):
+    """CORPUS-WIDE discrete quantile (SQL ``quantile_disc`` with no GROUP
+    BY) as a driver scalar — the first pass of a two-pass global
+    percentile filter.
+
+    Same scale shape as :func:`grouped_quantile_disc` (which it wraps with
+    a constant key): the corpus collapses to per-block (value, count)
+    partials — at most |distinct values| rows per block ever shuffle, the
+    raw rows never do — and the read-off touches only the tiny partial
+    table.  Returns a Python scalar (int for integer columns, float
+    otherwise; ``None`` if every value is null).
+    """
+    def add_key(b: pa.Table) -> pa.Table:
+        return b.append_column("_k", pa.array(np.zeros(len(b), np.int8)))
+
+    out = grouped_quantile_disc(
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        ["_k"], value_col, q, "_q", coarse=1,
+    )
+    rows = out.take_all()
+    if not rows or rows[0]["_q"] is None:
+        return None
+    return rows[0]["_q"]

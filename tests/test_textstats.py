@@ -235,3 +235,61 @@ def test_vocab_coverage_two_pass():
         words = (s or "").split(" ")
         assert out.loc[i, "n_words"] == len(words)
         assert out.loc[i, "n_in_vocab"] == sum(w in vs for w in words)
+
+
+def test_dup_ngram_stats_brute_force_parity():
+    """dup_ngram_stats == per-row brute-force n-gram counting, including
+    short rows (<n words), nulls handled upstream, and sliced batches."""
+    import numpy as np
+
+    from log_formatter_ray.ops.textstats import dup_ngram_stats
+
+    rng = np.random.default_rng(7)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 12)))
+        for _ in range(200)
+    ]
+    texts += ["a b c a b c a b", "x y", "", "p q r"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    })
+    for n in (2, 3):
+        out = dup_ngram_stats(t, n=n).to_pandas().set_index("doc_id")
+        for i, s in enumerate(texts):
+            ws = s.split(" ") if s else [""]
+            grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+            assert out.loc[i, "n_grams"] == len(grams)
+            assert out.loc[i, "n_dup_grams"] == len(grams) - len(set(grams))
+    # a sliced (non-zero-offset) batch must give identical stats
+    sl = dup_ngram_stats(t.slice(100, 50)).to_pandas().set_index("doc_id")
+    full = dup_ngram_stats(t).to_pandas().set_index("doc_id")
+    assert sl.equals(full.loc[sl.index])
+
+
+def test_corpus_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from log_formatter_ray.stages.aggregate import corpus_quantile_disc
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-1000, 1000, size=5000)
+    nulls = rng.random(5000) < 0.1
+    col = pa.array(
+        [None if m else int(v) for v, m in zip(vals, nulls)], pa.int64()
+    )
+    ds = rd.from_arrow(pa.table({"v": col})).repartition(9)
+    con = duckdb.connect()
+    con.register("t", pa.table({"v": col}))
+    for q in (0.1, 0.5, 0.75, 0.95):
+        exp = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+        assert corpus_quantile_disc(ds, "v", q) == exp
+    con.close()
+    # all-null corpus -> None
+    ds_null = rd.from_arrow(
+        pa.table({"v": pa.array([None, None], pa.int64())})
+    )
+    assert corpus_quantile_disc(ds_null, "v", 0.5) is None
