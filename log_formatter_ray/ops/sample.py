@@ -124,3 +124,41 @@ def reservoir_top_hash(ds, k: int, id_col: str = "doc_id",
     return (
         partials.iloc[order].drop(columns=["_prio"]).reset_index(drop=True)
     )
+
+
+def two_level_shuffle(ds, seed: int, id_col: str = "doc_id"):
+    """Training-ingestion shuffle WITHOUT an all-to-all: randomize the
+    block order (metadata-only — Ray reorders block references, no data
+    moves), then permute rows inside each block.  This is the standard
+    two-level approximation of a global ``random_shuffle`` for epoch
+    shuffling at 100 TB: the full shuffle moves every byte through the
+    object store; this plan moves none.
+
+    Determinism contract (same flavor as the rest of this module): the
+    within-block permutation is seeded from ``seed`` XOR a content hash of
+    the block's ids — NOT from task index or scheduling order — so a given
+    block permutes identically no matter which worker runs it or when.
+    The block-order level is seeded too; with an identical block layout
+    (same files, same splits) the full output order reproduces exactly.
+    Output rows are exactly the input rows (a permutation — the oracle
+    checks the multiset is untouched).
+
+    Mixing quality: rows can only land within their block, so two rows
+    from one file never end up a full corpus apart in one epoch — the
+    documented trade of every two-level shuffle.  Vary ``seed`` per epoch;
+    for stronger mixing write with more, smaller shards (the shard count
+    is the mixing radius knob).
+    """
+
+    def perm(b: pa.Table) -> pa.Table:
+        if b.num_rows <= 1:
+            return b
+        ids = b[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h = _stable_hash64(ids)
+        block_key = np.bitwise_xor.reduce(h) ^ np.uint64(seed & (2**64 - 1))
+        rng = np.random.default_rng(int(block_key))
+        return b.take(pa.array(rng.permutation(b.num_rows)))
+
+    return ds.randomize_block_order(seed=seed).map_batches(
+        perm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

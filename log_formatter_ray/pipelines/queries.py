@@ -1451,6 +1451,25 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.75) FROM documents)
 """
 
 
+def q_shuffle_documents(sf_dir: str):
+    """Two-level epoch shuffle (training ingestion): seed-deterministic
+    block-order randomization (metadata-only) + an in-block permutation
+    keyed on (seed, block content hash) — no all-to-all, no byte moves.
+    The oracle compares the ORDER-INSENSITIVE multiset: a correct shuffle
+    returns exactly the input rows, so row count, schema, and value hash
+    all match while the order is verifiably permuted (`test_sample.py`)."""
+    from log_formatter_ray.ops.sample import two_level_shuffle
+
+    ds = _tbl(sf_dir, "documents",
+              columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return two_level_shuffle(ds, seed=123)
+
+
+_SQL_SHUFFLE_DOCUMENTS = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1519,6 +1538,7 @@ QUERIES = {
     "redact_documents": q_redact_documents,
     "dup_ngram_documents": q_dup_ngram_documents,
     "percentile_filter_documents": q_percentile_filter_documents,
+    "shuffle_documents": q_shuffle_documents,
 }
 
 ORACLE_SQL = {
@@ -1566,6 +1586,7 @@ ORACLE_SQL = {
     "redact_documents": _SQL_REDACT_DOCUMENTS,
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
+    "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
 }
 
 

@@ -68,3 +68,27 @@ def test_reservoir_top_hash_matches_global_answer():
     exp = ids[np.lexsort((ids, h))[:25]].tolist()
     assert got["doc_id"].tolist() == exp
     assert list(got.columns) == ["doc_id", "x"]
+
+
+def test_two_level_shuffle_deterministic_permutation(ray_session):
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sample import two_level_shuffle
+
+    t = pa.table({
+        "doc_id": pa.array(range(2000), pa.int64()),
+        "v": pa.array([i * 3 % 17 for i in range(2000)], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    a = two_level_shuffle(ds, seed=42).to_pandas()
+    b = two_level_shuffle(ds, seed=42).to_pandas()
+    c = two_level_shuffle(ds, seed=7).to_pandas()
+    orig = ds.to_pandas()
+    # exactly the input rows (a permutation), deterministic per seed,
+    # different across seeds, and actually shuffled
+    assert sorted(a["doc_id"]) == sorted(orig["doc_id"])
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert a["doc_id"].tolist() != c["doc_id"].tolist()
+    assert a["doc_id"].tolist() != orig["doc_id"].tolist()
+    # rows stay intact (columns move together)
+    assert dict(zip(a["doc_id"], a["v"])) == dict(zip(orig["doc_id"], orig["v"]))
