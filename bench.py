@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "p95_value_per_type",
     "pack_sequences_global",
     "decontaminate_documents",
+    "clean_corpus_pipeline",
 ]
 
 

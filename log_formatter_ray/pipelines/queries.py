@@ -1470,6 +1470,89 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_clean_corpus_pipeline(sf_dir: str):
+    """The C4/Gopher-style corpus-cleaning recipe as ONE streaming chain —
+    the composition a real training-data pipeline runs: language-ID →
+    length floor → stopword-ratio floor → repetition (duplicate-3-gram)
+    ceiling.  Every stage is a fused ``map_batches`` (the actor-pool
+    langid stage included); thresholds are integer arithmetic so the
+    DuckDB oracle compares exactly.  Keep iff: predicted 'en', ≥10 words,
+    ≥2% stopwords (n_stop·50 ≥ n_words), ≤20% duplicate 3-grams
+    (n_dup·5 ≤ n_grams)."""
+    from log_formatter_ray.ops.textstats import (
+        LangIdScorer,
+        add_quality_stats,
+        dup_ngram_stats,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    ds = ds.map_batches(add_quality_stats, batch_format="pyarrow",
+                        batch_size=None, zero_copy_batch=True)
+
+    def add_rep(b: pa.Table) -> pa.Table:
+        st = dup_ngram_stats(b)  # positionally aligned with b's rows
+        return b.append_column("n_grams", st["n_grams"]).append_column(
+            "n_dup_grams", st["n_dup_grams"])
+
+    ds = ds.map_batches(add_rep, batch_format="pyarrow", batch_size=None,
+                        zero_copy_batch=True)
+    ds = ds.map_batches(LangIdScorer, batch_format="pyarrow",
+                        batch_size=None, concurrency=2)
+
+    def keep(b: pa.Table) -> pa.Table:
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        ns = b["n_stop"].to_numpy(zero_copy_only=False)
+        ng = b["n_grams"].to_numpy(zero_copy_only=False)
+        nd = b["n_dup_grams"].to_numpy(zero_copy_only=False)
+        lang = b["pred_lang"].to_numpy(zero_copy_only=False)
+        mask = (lang == "en") & (nw >= 10) & (ns * 50 >= nw) & (nd * 5 <= ng)
+        return b.filter(pa.array(mask)).select(["doc_id", "lang", "n_words"])
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+_SQL_CLEAN_CORPUS_PIPELINE = r"""
+WITH corpus AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS ws,
+         string_split(lower(text), ' ') AS wl
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, lang, text, len(ws) AS n_words,
+         len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','it'))) AS n_stop,
+         len(list_filter(wl, x -> x IN ('the','and','of','is','with'))) AS en,
+         len(list_filter(wl, x -> x IN ('der','und','die','ist','nicht'))) AS de,
+         len(list_filter(wl, x -> x IN ('le','et','les','des','est'))) AS fr,
+         len(list_filter(wl, x -> x IN ('el','los','las','es','una'))) AS es
+  FROM corpus
+),
+langed AS (
+  SELECT *,
+         CASE WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+              WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS pred_lang
+  FROM stats
+),
+grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS g
+  FROM corpus, UNNEST(generate_series(1, len(ws)-2)) AS t(i)
+),
+rep AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(*) - COUNT(DISTINCT g) AS n_dup
+  FROM grams GROUP BY doc_id
+)
+SELECT l.doc_id, l.lang, l.n_words
+FROM langed l JOIN rep r USING (doc_id)
+WHERE l.pred_lang = 'en' AND l.n_words >= 10
+  AND l.n_stop * 50 >= l.n_words
+  AND r.n_dup * 5 <= r.n_grams
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1539,6 +1622,7 @@ QUERIES = {
     "dup_ngram_documents": q_dup_ngram_documents,
     "percentile_filter_documents": q_percentile_filter_documents,
     "shuffle_documents": q_shuffle_documents,
+    "clean_corpus_pipeline": q_clean_corpus_pipeline,
 }
 
 ORACLE_SQL = {
@@ -1587,6 +1671,7 @@ ORACLE_SQL = {
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
+    "clean_corpus_pipeline": _SQL_CLEAN_CORPUS_PIPELINE,
 }
 
 
