@@ -419,3 +419,99 @@ def dup_ngram_stats(batch: pa.Table, text_col: str = "text",
         "n_grams": pa.array(n_grams.astype(np.int64)),
         "n_dup_grams": pa.array(n_grams.astype(np.int64) - distinct),
     })
+
+
+def build_doc_freq(ds, text_col: str = "text"):
+    """Pass 1 of :func:`top_distinctive_term`: DOCUMENT frequency per word
+    (how many docs contain it — not total occurrences, which
+    ``build_top_vocab`` counts).
+
+    Per block each row collapses to its DISTINCT words (one pandas
+    drop_duplicates over the exploded (row, word) pairs — vectorized C),
+    partial df counts shuffle by word, and one Sum groupby merges them.
+    The driver collect is bounded by VOCABULARY size, not corpus size —
+    the same contract as ``build_top_vocab`` (cap the vocab upstream if a
+    raw web corpus's tail would exceed driver memory).
+
+    Returns ``(vocab, df)``: a lexicographically sorted object ndarray of
+    words and the aligned int64 document-frequency array — ready for
+    ``np.searchsorted`` lookups.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = _list_offsets(words).astype(np.int64)
+        offsets = offsets - offsets[0]
+        gid = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                        np.diff(offsets))
+        w = words.flatten().to_numpy(zero_copy_only=False)
+        uniq = pd.DataFrame({"g": gid, "w": w}).drop_duplicates()
+        cnt = uniq.groupby("w", sort=False).size()
+        return pa.table({"word": pa.array(cnt.index.to_numpy(object)),
+                         "n": pa.array(cnt.to_numpy(np.int64))})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    order = np.argsort(counts["word"].to_numpy(object))
+    return (counts["word"].to_numpy(object)[order],
+            counts["n"].to_numpy(np.int64)[order])
+
+
+def top_distinctive_term(batch: pa.Table, vocab: np.ndarray, df: np.ndarray,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Pass 2: each document's most DISTINCTIVE term — the TF-IDF argmax
+    under an exactly-reproducible integer ordering: highest in-doc term
+    frequency, ties to the RAREST word (lowest corpus document frequency),
+    then lexicographically smallest.  (The float tf·idf score would rank
+    identically within a tf level iff df ordering decides — this integer
+    form keeps the DuckDB oracle exact.)
+
+    Vectorized: one searchsorted into the sorted vocab, two lexsorts —
+    no per-row loop.  ``(vocab, df)`` come from :func:`build_doc_freq`
+    (ship via ``ray.put`` once; every word of the corpus is in the vocab
+    by construction).
+    """
+    words = pc.split_pattern(pc.fill_null(batch[text_col], ""), " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = _list_offsets(words).astype(np.int64)
+    offsets = offsets - offsets[0]
+    gid = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                    np.diff(offsets))
+    w = words.flatten().to_numpy(zero_copy_only=False)
+    wid = np.searchsorted(vocab, w)
+
+    # per-(row, word) term frequencies off one lexsort's run boundaries
+    order = np.lexsort((wid, gid))
+    gs, ws = gid[order], wid[order]
+    new = np.ones(gs.size, dtype=bool)
+    if gs.size:
+        new[1:] = (gs[1:] != gs[:-1]) | (ws[1:] != ws[:-1])
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.append(starts, gs.size))
+    g_u, w_u = gs[starts], ws[starts]
+
+    # argmax per doc: sort by (doc asc, tf desc, df asc, word asc), take
+    # the first row of each doc's run
+    pick = np.lexsort((w_u, df[w_u], -tf, g_u))
+    first = np.ones(pick.size, dtype=bool)
+    if pick.size:
+        first[1:] = g_u[pick][1:] != g_u[pick][:-1]
+    sel = pick[first]
+    ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.table({
+        id_col: pa.array(ids[g_u[sel]]),
+        "term": pa.array(vocab[w_u[sel]].astype(object), pa.string()),
+        "tf": pa.array(tf[sel].astype(np.int64)),
+        "df": pa.array(df[w_u[sel]].astype(np.int64)),
+    })

@@ -1553,6 +1553,48 @@ WHERE l.pred_lang = 'en' AND l.n_words >= 10
 """
 
 
+def q_tfidf_top_term(sf_dir: str):
+    """TF-IDF top distinctive term per document, two-pass: pass 1 builds
+    corpus document frequencies distributed (per-block distinct-words
+    partials → one word-keyed Sum groupby; driver collect bounded by
+    vocabulary size), broadcast once via ``ray.put``; pass 2 streams the
+    corpus through a vectorized argmax under the exact integer ordering
+    (tf desc, df asc, term asc) so the oracle compares exactly."""
+    import ray as _ray
+
+    from log_formatter_ray.ops.textstats import (
+        build_doc_freq,
+        top_distinctive_term,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    ref = _ray.put(build_doc_freq(ds))
+
+    def fn(b: pa.Table) -> pa.Table:
+        vocab, df = _ray.get(ref)
+        return top_distinctive_term(b, vocab, df)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+_SQL_TFIDF_TOP_TERM = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),
+ranked AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rn
+  FROM tf JOIN df USING (w)
+)
+SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1623,6 +1665,7 @@ QUERIES = {
     "percentile_filter_documents": q_percentile_filter_documents,
     "shuffle_documents": q_shuffle_documents,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
+    "tfidf_top_term": q_tfidf_top_term,
 }
 
 ORACLE_SQL = {
@@ -1672,6 +1715,7 @@ ORACLE_SQL = {
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
     "clean_corpus_pipeline": _SQL_CLEAN_CORPUS_PIPELINE,
+    "tfidf_top_term": _SQL_TFIDF_TOP_TERM,
 }
 
 

@@ -293,3 +293,36 @@ def test_corpus_quantile_disc_matches_duckdb(ray_session):
         pa.table({"v": pa.array([None, None], pa.int64())})
     )
     assert corpus_quantile_disc(ds_null, "v", 0.5) is None
+
+
+def test_top_distinctive_term_brute_force_parity(ray_session):
+    """Two-pass TF-IDF argmax == per-row brute force under the exact
+    (tf desc, df asc, term asc) ordering, on data with deliberate ties."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from log_formatter_ray.ops.textstats import (
+        build_doc_freq,
+        top_distinctive_term,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "b", "cc", "d", "e", "zz"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 15)))
+             for _ in range(300)]
+    texts += ["aa b aa b", "zz", "d d e e"]  # tf ties -> df / lexicographic
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(5)
+    v, df = build_doc_freq(ds)
+    out = top_distinctive_term(t, v, df).to_pandas().set_index("doc_id")
+
+    exp_df = Counter(w for s in texts for w in set(s.split(" ")))
+    for i, s in enumerate(texts):
+        tf = Counter(s.split(" "))
+        best = min(tf, key=lambda w: (-tf[w], exp_df[w], w))
+        assert out.loc[i, "term"] == best, (i, s)
+        assert out.loc[i, "tf"] == tf[best]
+        assert out.loc[i, "df"] == exp_df[best]
