@@ -162,3 +162,61 @@ def two_level_shuffle(ds, seed: int, id_col: str = "doc_id"):
     return ds.randomize_block_order(seed=seed).map_batches(
         perm, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def mixture_rates(counts: dict[str, int], weights: dict[str, float],
+                  denom: int = 1_000_000) -> dict[str, int]:
+    """Per-source hash-threshold keep rates that rebalance a corpus to
+    target ``weights`` (the data-MIXING step: e.g. web 60% / code 25% /
+    books 15%) at the largest output size no source has to over-sample
+    for.
+
+    The binding source is the one whose supply runs out first at its
+    target share: ``N = min_s(counts[s] / weights[s])``; every source then
+    keeps ``weights[s]·N / counts[s]`` of its rows (the binding source
+    keeps 100% — this op never duplicates rows; repeat-epoch upsampling
+    is a separate concern).  Sources with weight 0 — and sources absent
+    from ``weights`` — are dropped.  Returns integer thresholds out of
+    ``denom`` for :func:`sample_mixture`'s hash filter.
+    """
+    active = {s: w for s, w in weights.items() if w > 0 and counts.get(s)}
+    if not active:
+        return {}
+    wsum = sum(active.values())
+    n_out = min(counts[s] / (w / wsum) for s, w in active.items())
+    return {
+        s: min(denom, int(round((w / wsum) * n_out / counts[s] * denom)))
+        for s, w in active.items()
+    }
+
+
+def sample_mixture(ds, weights: dict[str, float], source_col: str = "source",
+                   id_col: str = "doc_id", denom: int = 1_000_000):
+    """Deterministic weighted source mixing, two passes: pass 1 is a tiny
+    per-source count groupby (|sources| rows to the driver); the rates
+    from :func:`mixture_rates` broadcast in the task closure; pass 2
+    streams the corpus through a per-source hash-threshold filter — the
+    same stable content hash as every sampler here, so the selected row
+    set is identical across runs, shard layouts, and cluster sizes.
+
+    Rates are ≈exact (hash-threshold keeps a binomial-concentrated
+    fraction, ±O(1/√n) of target — the at-scale trade; exact-k per source
+    would need a per-source distributed selection).
+    """
+    from ray.data.aggregate import Count
+
+    cnt = ds.groupby(source_col).aggregate(Count(alias_name="n")).take_all()
+    rates = mixture_rates({r[source_col]: r["n"] for r in cnt}, weights,
+                          denom=denom)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        src = batch[source_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cuts = np.array([rates.get(s, 0) for s in pd.unique(src)],
+                        dtype=np.int64)
+        inv = pd.Series(np.arange(len(cuts)),
+                        index=pd.unique(src)).reindex(src).to_numpy(np.int64)
+        h = _hash_mod(batch, id_col, denom)
+        return batch.filter(pa.array(h < cuts[inv]))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)

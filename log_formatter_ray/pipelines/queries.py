@@ -1595,6 +1595,20 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_mixture_sample_documents(sf_dir: str):
+    """Weighted source mixing (rows-only: membership is hash-defined —
+    exact rate logic and determinism are pinned in `test_sample.py`):
+    rebalance three sources to 50/30/20 and report the per-source counts
+    of the deterministic sample."""
+    from ray.data.aggregate import Count
+
+    from log_formatter_ray.ops.sample import sample_mixture
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "source"])
+    out = sample_mixture(ds, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    return out.groupby("source").aggregate(Count(alias_name="n"))
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1666,6 +1680,7 @@ QUERIES = {
     "shuffle_documents": q_shuffle_documents,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "tfidf_top_term": q_tfidf_top_term,
+    "mixture_sample_documents": q_mixture_sample_documents,
 }
 
 ORACLE_SQL = {

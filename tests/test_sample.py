@@ -92,3 +92,50 @@ def test_two_level_shuffle_deterministic_permutation(ray_session):
     assert a["doc_id"].tolist() != orig["doc_id"].tolist()
     # rows stay intact (columns move together)
     assert dict(zip(a["doc_id"], a["v"])) == dict(zip(orig["doc_id"], orig["v"]))
+
+
+def test_mixture_rates_logic():
+    from log_formatter_ray.ops.sample import mixture_rates
+
+    # binding source (the one that runs out first) keeps 100%
+    r = mixture_rates({"a": 100, "b": 1000}, {"a": 0.5, "b": 0.5},
+                      denom=1000)
+    assert r["a"] == 1000 and r["b"] == 100
+    # weight-0 and absent sources are dropped
+    r = mixture_rates({"a": 10, "b": 10, "c": 10}, {"a": 1.0, "b": 0.0},
+                      denom=1000)
+    assert r == {"a": 1000}
+    # weights renormalize
+    assert mixture_rates({"a": 50, "b": 50}, {"a": 2.0, "b": 2.0},
+                         denom=1000) == {"a": 1000, "b": 1000}
+    assert mixture_rates({}, {"a": 1.0}) == {}
+
+
+def test_sample_mixture_deterministic_and_proportional(ray_session):
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sample import sample_mixture
+
+    n = 30_000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array(
+            ["web" if i % 10 < 6 else ("code" if i % 10 < 9 else "books")
+             for i in range(n)]),
+    })
+    weights = {"web": 0.5, "code": 0.3, "books": 0.2}
+    a = sample_mixture(rd.from_arrow(t).repartition(4), weights).to_pandas()
+    b = sample_mixture(rd.from_arrow(t).repartition(13), weights).to_pandas()
+    # identical row set across parallelism levels
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    got = a.groupby("source").size()
+    # books is binding (3000 docs / 0.2 share): kept fully
+    assert got["books"] == 3000
+    # others within binomial tolerance of their targets
+    assert abs(got["web"] - 7500) < 300
+    assert abs(got["code"] - 4500) < 250
+    # no source leaks rows it shouldn't (dropped-source case)
+    c = sample_mixture(
+        rd.from_arrow(t), {"web": 1.0}
+    ).to_pandas()
+    assert set(c["source"]) == {"web"} and len(c) == 18000
