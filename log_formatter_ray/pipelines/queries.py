@@ -50,6 +50,22 @@ def _tbl(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
 
 
+def _adaptive_coarse(sf_dir: str, name: str = "documents", per: int = 50,
+                     lo: int = 16, hi: int = 1024) -> int:
+    """Corpus-sized coarse-partition count for the keyed/LSH map_groups
+    stages: each coarse partition costs a fixed ~1-5 ms of groupby
+    machinery (TUNING.md), so a small corpus must not pay the
+    at-scale partition count (measured: simhash candidates at 500 docs,
+    coarse 1024 → 7.5 s vs coarse 16 → 1.9 s; the 200k-doc runs that
+    tuned `hi`=1024 are unaffected).  Row count comes from parquet
+    footer metadata — no data read, no Ray tasks."""
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+    return int(min(hi, max(lo, n // per)))
+
+
 # ---------------------------------------------------------------------------
 # Flagship over documents: parse → enrich → route → aggregate (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -445,7 +461,9 @@ ORDER BY n DESC, user_id LIMIT 10
 
 def q_dedup_exact_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_dedup(ds).select_columns(["doc_id"])
+    return exact_dedup(
+        ds, coarse=_adaptive_coarse(sf_dir, hi=256)
+    ).select_columns(["doc_id"])
 
 
 _SQL_DEDUP_EXACT_DOCUMENTS = """
@@ -455,7 +473,8 @@ SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 
 def q_minhash_clusters_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_clusters(ds, threshold=0.5)
+    return minhash_lsh_clusters(ds, threshold=0.5,
+                                coarse=_adaptive_coarse(sf_dir))
 
 
 def q_simhash_documents(sf_dir: str):
@@ -483,7 +502,7 @@ def q_jaccard_near_dups(sf_dir: str):
 
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     sims = ds.map_batches(add_simhash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    cands = simhash_candidates(sims)
+    cands = simhash_candidates(sims, coarse=_adaptive_coarse(sf_dir))
     return verify_pairs_jaccard(ds, cands, threshold=0.8).select_columns(["a", "b"])
 
 
