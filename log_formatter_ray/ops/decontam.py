@@ -36,18 +36,17 @@ import ray
 from log_formatter_ray.ops.dedup import _stable_hash64
 
 
-def _word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-row word n-gram hashes for a string column, vectorized.
+def _word_ngram_strings(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word n-gram STRINGS for a string column, vectorized.
 
-    Returns ``(hashes, row_offsets)``: ``hashes`` is the flat uint64 array
-    of every row's n-gram hashes in row order; ``row_offsets`` (len
+    Returns ``(grams, row_offsets)``: ``grams`` is the flat object array
+    of every row's n-gram strings in row order; ``row_offsets`` (len
     nrows+1) delimits each row's slice.  Rows with fewer than ``n``
     space-split words contribute zero n-grams (DuckDB
     ``generate_series(1, len(ws)-n+1)`` parity).
 
     The shingle strings are built with O(n) whole-column object-array
-    concatenations over the flattened word buffer (not a per-row loop),
-    then hashed in ONE ``_stable_hash64`` call.
+    concatenations over the flattened word buffer (not a per-row loop).
     """
     words = pc.split_pattern(texts, " ")
     if isinstance(words, pa.ChunkedArray):
@@ -59,7 +58,7 @@ def _word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     row_off = np.concatenate([[0], np.cumsum(g_counts)])
     total = int(offsets[-1])
     if total < n:
-        return np.empty(0, dtype=np.uint64), row_off
+        return np.empty(0, dtype=object), row_off
 
     w = words.flatten().to_numpy(zero_copy_only=False)  # object array
     cand = w[: total - n + 1].copy()
@@ -76,7 +75,16 @@ def _word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     bad = bad[(bad >= 0) & (bad < valid.size)]
     valid[bad] = False
 
-    return _stable_hash64(cand[valid]), row_off
+    return cand[valid], row_off
+
+
+def _word_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row word n-gram hashes — :func:`_word_ngram_strings` hashed in
+    ONE ``_stable_hash64`` call; same ``(values, row_offsets)`` layout."""
+    grams, row_off = _word_ngram_strings(texts, n)
+    if not grams.size:
+        return np.empty(0, dtype=np.uint64), row_off
+    return _stable_hash64(grams), row_off
 
 
 def benchmark_ngram_hashes(bench_ds, text_col: str = "text", n: int = 3) -> np.ndarray:

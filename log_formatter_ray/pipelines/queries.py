@@ -1628,6 +1628,47 @@ def q_mixture_sample_documents(sf_dir: str):
     return out.groupby("source").aggregate(Count(alias_name="n"))
 
 
+def q_top_ngrams_corpus(sf_dir: str):
+    """Corpus-wide most-repeated word 3-grams — the boilerplate detector
+    (a gram that appears thousands of times across docs is template
+    text).  Same scale shape as ``top_terms_per_lang``: per-block gram
+    counts collapse each block to its DISTINCT grams before the one
+    gram-keyed Sum shuffle; only top-k reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from log_formatter_ray.ops.decontam import _word_ngram_strings
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        grams, _ = _word_ngram_strings(batch["text"], 3)
+        s = pd.Series(grams, dtype=object).value_counts()
+        return pa.table({"gram": pa.array(s.index.to_numpy(object),
+                                          pa.string()),
+                         "n": pa.array(s.to_numpy(np.int64))})
+
+    ds = _tbl(sf_dir, "documents", columns=["text"])
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "gram"], descending=[True, False]).limit(20)
+
+
+_SQL_TOP_NGRAMS_CORPUS = """
+WITH corpus AS (SELECT string_split(text, ' ') AS ws FROM documents),
+grams AS (
+  SELECT array_to_string(ws[i:i+2], ' ') AS g
+  FROM corpus, UNNEST(generate_series(1, len(ws)-2)) AS t(i)
+)
+SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM grams GROUP BY g
+ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1700,6 +1741,7 @@ QUERIES = {
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "tfidf_top_term": q_tfidf_top_term,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "top_ngrams_corpus": q_top_ngrams_corpus,
 }
 
 ORACLE_SQL = {
@@ -1750,6 +1792,7 @@ ORACLE_SQL = {
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
     "clean_corpus_pipeline": _SQL_CLEAN_CORPUS_PIPELINE,
     "tfidf_top_term": _SQL_TFIDF_TOP_TERM,
+    "top_ngrams_corpus": _SQL_TOP_NGRAMS_CORPUS,
 }
 
 
