@@ -19,3 +19,7 @@ analysis, multimodal plumbing) a 100 TB token pipeline needs.
 """
 
 __version__ = "0.1.0"
+
+from log_formatter_ray import _compat
+
+_compat.install()

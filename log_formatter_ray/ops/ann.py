@@ -276,7 +276,9 @@ class IVFIndex:
                     "rank": pd.Series(dtype="int64"),
                 }
             )
-        ds = rd.read_parquet(files)
+        from log_formatter_ray.sources import read_parquet_clean
+
+        ds = read_parquet_clean(files)
         return brute_force_topk(
             ds, np.atleast_2d(queries), k=k, emb_col=emb_col, id_col=id_col
         )

@@ -377,7 +377,9 @@ def pack_sequences_spill(
             "path": packs_dir, "n_packs": 0, "n_seqs": 0,
             "total_tokens": 0, "fill": 0.0,
         }
-    stats = rd.read_parquet(
+    from log_formatter_ray.sources import read_parquet_clean
+
+    stats = read_parquet_clean(
         packs_dir, columns=["n_tok", "n_seqs"]
     ).materialize()
     n_packs = stats.count()

@@ -185,7 +185,9 @@ def run_dedup_job(
     if cluster_map_recomputed:
         shutil.rmtree(clusters_dir, ignore_errors=True)
         os.makedirs(clusters_dir, exist_ok=True)
-        ds = rd.read_parquet_bulk(files, columns=[id_col, text_col])
+        from log_formatter_ray.sources import clean
+
+        ds = clean(rd.read_parquet_bulk(files, columns=[id_col, text_col]))
         clusters = minhash_lsh_clusters(
             ds, text_col=text_col, id_col=id_col, threshold=threshold,
             **cluster_kwargs,
@@ -228,8 +230,10 @@ def run_dedup_job(
     if pending:
         from log_formatter_ray.pipelines.flagship import _basename_tagger
 
+        from log_formatter_ray.sources import clean
+
         pfiles = sorted(f for fs in pending.values() for f in fs)
-        ds = rd.read_parquet_bulk(pfiles, include_paths=True)
+        ds = clean(rd.read_parquet_bulk(pfiles, include_paths=True))
         ds = ds.map_batches(
             _basename_tagger(pfiles), batch_format="pyarrow", batch_size=None
         )

@@ -241,13 +241,17 @@ def _read_and_parse(
     # knob — exactly the Kafka-partition model.  ``override_num_blocks``
     # deliberately unused by default: block-splitting would only insert an
     # extra object-store hop between read and the fused map chain.
+    from log_formatter_ray.sources import clean, read_parquet_clean
+
     if override_num_blocks:
-        ds = rd.read_parquet(
+        ds = read_parquet_clean(
             files, include_paths=True, override_num_blocks=override_num_blocks
         )
     else:
-        ds = rd.read_parquet_bulk(files, include_paths=True)
-    ds = ds.map_batches(_basename_tagger(files), batch_format="pyarrow", batch_size=None)
+        ds = clean(rd.read_parquet_bulk(files, include_paths=True))
+    ds = ds.map_batches(
+        _basename_tagger(files), batch_format="pyarrow", batch_size=None
+    )
 
     parser = GrokParser(
         components_regex=DOC_ID_PATTERN,

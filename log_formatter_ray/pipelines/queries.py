@@ -47,7 +47,14 @@ _TIERS = ["premium", "standard", "raw"]
 
 
 def _tbl(sf_dir: str, name: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    from log_formatter_ray.sources import read_parquet_clean
+
+    # the driver's parquet carries pandas schema metadata that makes
+    # pa.Schema unhashable — stripped inside the read tasks so Ray's
+    # schema dedup works and the per-task warning disappears
+    return read_parquet_clean(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
 
 
 def _adaptive_coarse(sf_dir: str, name: str = "documents", per: int = 50,
@@ -520,20 +527,45 @@ def q_dedup_near_documents(sf_dir: str):
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     src = os.path.join(base, "lfr_dedupjob_src", name)
-    if not os.path.exists(os.path.join(src, "_SHARDED")):
-        os.makedirs(src, exist_ok=True)
-        t = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-        )
+    # Cache keyed on the SOURCE FILE's identity (mtime+size in the marker):
+    # a regenerated documents.parquet invalidates the shards instead of
+    # silently deduping stale data.  Shards are written to a temp dir
+    # renamed into place so two concurrent first runs cannot observe a
+    # half-written cache (rename is atomic; the loser's rename fails and
+    # it uses the winner's identical shards).
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_file)
+    ident = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(src, "_SHARDED")
+
+    def _marker_ok() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == ident
+        except OSError:
+            return False
+
+    if not _marker_ok():
+        shutil.rmtree(src, ignore_errors=True)
+        tmp = tempfile.mkdtemp(prefix="lfr_shard_tmp_", dir=base)
+        t = pq.read_table(src_file, columns=["doc_id", "text"])
         n_shards = 4
         step = (len(t) + n_shards - 1) // n_shards
         for s in range(n_shards):
             pq.write_table(
-                t.slice(s * step, step),
-                os.path.join(src, f"shard-{s:03d}.parquet"),
+                t.slice(s * step, step).replace_schema_metadata(None),
+                os.path.join(tmp, f"shard-{s:03d}.parquet"),
             )
-        open(os.path.join(src, "_SHARDED"), "w").write("ok")
+        with open(os.path.join(tmp, "_SHARDED"), "w") as f:
+            f.write(ident)
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        try:
+            os.rename(tmp, src)
+        except OSError:
+            # concurrent creator won the rename; its shards are identical
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not _marker_ok():
+                raise
     out = tempfile.mkdtemp(prefix="lfr_dedupjob_", dir=base)
     try:
         res = run_dedup_job(src, out, threshold=0.5)
@@ -1134,11 +1166,13 @@ def q_media_decode_real(sf_dir: str):
 def _sequences_ds(sf_dir: str):
     from log_formatter_ray.fixtures import generate_sequences
 
+    from log_formatter_ray.sources import clean
+
     corpus, rows = sequences_dir_for(sf_dir)
     generate_sequences(corpus, rows, num_files=64)
-    return rd.read_parquet_bulk(
+    return clean(rd.read_parquet_bulk(
         sorted(os.path.join(corpus, f) for f in os.listdir(corpus) if f.endswith(".parquet"))
-    )
+    ))
 
 
 def q_chunk_sequences(sf_dir: str):

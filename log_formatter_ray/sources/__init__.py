@@ -11,7 +11,63 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyarrow as pa
 import ray.data as rd
+
+
+def _strip_schema_metadata(t: pa.Table) -> pa.Table:
+    return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+
+def clean(ds: "rd.Dataset") -> "rd.Dataset":
+    """Strip schema-level metadata right after a read (zero-copy, fuses
+    into the read op).  Parquet written via pandas carries a ``b'pandas'``
+    schema-metadata blob that makes ``pa.Schema`` UNHASHABLE — every block
+    then defeats Ray's schema-dedup fast path and logs ``Failed to hash
+    the schemas (for deduplication)`` per task (VERDICT r3 item 8)."""
+    return ds.map_batches(
+        _strip_schema_metadata,
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+def read_parquet_clean(paths, columns=None, **kwargs) -> "rd.Dataset":
+    """``read_parquet`` that yields HASHABLE block schemas even for files
+    written via pandas (whose ``b'pandas'`` footer metadata makes
+    ``pa.Schema`` unhashable, defeating Ray's schema dedup with a
+    ``Failed to hash the schemas`` warning per unify).
+
+    Strategy, chosen per input (footer-only probe, no data read):
+
+    * clean footer → plain ``read_parquet`` (nothing to strip);
+    * dirty footer → explicit clean column-projected ``schema=`` — both the
+      datasource's inferred schema AND every block come out metadata-free;
+    * dirty footer + ``include_paths`` (declared schema would diverge from
+      the injected ``path`` column) → ``_block_udf`` strip inside the read
+      tasks (pinned-version ray 2.49.2 passthrough).  NOTE ``_block_udf``
+      is never combined with a clean footer: Ray's schema inference calls
+      ``with_metadata(None)`` around it, which attaches an EMPTY dict —
+      itself unhashable.
+    """
+    import pyarrow.parquet as pq
+
+    dirty = False
+    if "schema" not in kwargs:
+        first = paths if isinstance(paths, str) else paths[0]
+        try:
+            s = pq.read_schema(first)
+            dirty = bool(s.metadata)
+        except Exception:
+            dirty = False  # directory / remote: our own writes, clean
+        if dirty and not kwargs.get("include_paths"):
+            s = s.remove_metadata()
+            kwargs["schema"] = (
+                pa.schema([s.field(c) for c in columns]) if columns else s
+            )
+            dirty = False
+    if dirty:
+        kwargs["_block_udf"] = _strip_schema_metadata
+    return rd.read_parquet(paths, columns=columns, **kwargs)
 
 
 def _parquet_source(cfg: dict):
@@ -20,7 +76,7 @@ def _parquet_source(cfg: dict):
 
     ``columns`` prunes at the read; ``override_num_blocks`` ≈ ``worker: N``.
     """
-    return rd.read_parquet(
+    return read_parquet_clean(
         cfg["path"],
         columns=cfg.get("columns"),
         include_paths=bool(cfg.get("include_paths", False)),
