@@ -429,25 +429,125 @@ def minhash_lsh_clusters(
     return labels.sort("id")
 
 
-def dedup_by_clusters(ds, clusters, id_col: str = "doc_id"):
-    """Drop every cluster member except its representative — the drop set is
-    broadcast (small relative to the corpus by the near-dup assumption) and
-    applied as a vectorized filter per batch.  ``clusters`` is the (id, rep)
-    Dataset/DataFrame from ``minhash_lsh_clusters``."""
-    if not isinstance(clusters, pd.DataFrame):
-        clusters = clusters.to_pandas()
-    drop = set(clusters.loc[clusters["id"] != clusters["rep"], "id"].tolist())
-    if not drop:  # nothing to drop; an empty pa.array is null-typed and
-        return ds  # would make pc.is_in raise against a string column
-    drop_ref = ray.put(pa.array(list(drop)))
+def dedup_by_clusters(
+    ds,
+    clusters,
+    id_col: str = "doc_id",
+    mode: str = "auto",
+    broadcast_limit: int = 5_000_000,
+    coarse: int = 256,
+):
+    """Drop every cluster member except its representative.  ``clusters``
+    is the (id, rep) Dataset/DataFrame from ``minhash_lsh_clusters``.
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch[id_col], value_set=ray.get(drop_ref)))
-        return batch.filter(mask)
+    Two plans, chosen optimizer-style (the ``cc_mode`` pattern):
 
-    return ds.map_batches(
-        keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    * ``broadcast`` (auto at/below ``broadcast_limit`` drop ids): the drop
+      set ships once via ``ray.put`` and every batch filters with one
+      vectorized ``is_in`` — no shuffle at all.  Right while the drop set
+      fits a worker (up to ~10^8 ids).
+    * ``partitioned`` (auto above the limit): a hash-partitioned anti-join
+      — corpus rows and drop ids co-partition on ``hash(id) % coarse`` in
+      ONE union shuffle, and each partition filters its rows against only
+      ITS drop ids (pyarrow ``map_groups``, so list columns like
+      ``tokens`` never touch pandas).  Per-partition memory is
+      |corpus|/coarse + |drop|/coarse — no single process ever holds the
+      whole drop set, at the price of shuffling the corpus once.
+    """
+    import ray.data as rd
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+
+    if isinstance(clusters, pd.DataFrame):
+        drop_df = clusters.loc[clusters["id"] != clusters["rep"], ["id"]]
+        n_drop = len(drop_df)
+        drop_ds = rd.from_pandas(drop_df.reset_index(drop=True)) if n_drop else None
+    else:
+        drop_ds = clusters.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.equal(t["id"], t["rep"]))
+            ).select(["id"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ).materialize()
+        n_drop = drop_ds.count()
+    if not n_drop:  # nothing to drop; an empty pa.array is null-typed and
+        return ds   # would make pc.is_in raise against a string column
+
+    if mode == "auto":
+        mode = "broadcast" if n_drop <= broadcast_limit else "partitioned"
+
+    if mode == "broadcast":
+        if isinstance(clusters, pd.DataFrame):
+            drop_arr = pa.Array.from_pandas(drop_df["id"])
+        else:
+            drop_arr = pa.concat_arrays(
+                [b["id"].combine_chunks()
+                 for b in drop_ds.iter_batches(batch_format="pyarrow")]
+            )
+        drop_ref = ray.put(drop_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(
+                pc.is_in(batch[id_col], value_set=ray.get(drop_ref))
+            )
+            return batch.filter(mask)
+
+        return ds.map_batches(
+            keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+
+    # ---- partitioned anti-join -------------------------------------------
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    corpus_cols = list(schema.names)
+
+    def tag_corpus(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        out = {c: batch[c].combine_chunks() for c in corpus_cols}
+        out["_slot"] = pa.array(np.ones(len(batch), np.int8))
+        out[PART_COL] = pa.array(
+            hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+        )
+        return pa.table(out)
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().cast(types[id_col])
+        n = len(batch)
+        out = {
+            c: (ids if c == id_col else pa.nulls(n, types[c]))
+            for c in corpus_cols
+        }
+        out["_slot"] = pa.array(np.zeros(n, np.int8))
+        out[PART_COL] = pa.array(
+            hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+        )
+        return pa.table(out)
+
+    unioned = ds.map_batches(
+        tag_corpus, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        drop_ds.map_batches(
+            tag_drop, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
     )
+
+    def anti(group: pa.Table) -> pa.Table:
+        slot = group["_slot"]
+        drop_ids = group.filter(pc.equal(slot, 0))[id_col]
+        rows = group.filter(pc.equal(slot, 1))
+        if len(drop_ids):
+            rows = rows.filter(
+                pc.invert(
+                    pc.is_in(
+                        rows[id_col],
+                        value_set=pc.unique(drop_ids.combine_chunks()),
+                    )
+                )
+            )
+        return rows.drop_columns(["_slot", PART_COL])
+
+    return unioned.groupby(PART_COL).map_groups(anti, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -66,19 +66,145 @@ class DedupJobResult:
     skipped_partitions: list[str] = field(default_factory=list)
 
 
+def _count_dup_ids(clusters_dir: str) -> int:
+    """Distributed count of cluster members that are not their own rep —
+    the driver sees one integer, never the ids."""
+    from log_formatter_ray.sources import clean
+
+    n = clean(rd.read_parquet(clusters_dir)).map_batches(
+        lambda t: pa.table(
+            {"n": pa.array(
+                [len(t.filter(pc.invert(pc.equal(t["id"], t["rep"]))))],
+                pa.int64(),
+            )}
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).sum("n")
+    return int(n or 0)
+
+
+def _build_dropsets(
+    clusters_dir: str,
+    dropsets_dir: str,
+    pending_files: list[str],
+    id_col: str,
+    coarse: int | None = None,
+) -> None:
+    """Per-shard drop lists without the drop set ever touching the driver.
+
+    One hash-partitioned semi-join: the pending shards' (part_id, id)
+    columns (ids only — the payload never shuffles) union with the cluster
+    map's duplicate ids, co-partitioned on ``hash(id) % coarse``; each
+    partition emits the (part_id, id) pairs present in its drop ids, and
+    the result lands as ``dropsets_dir/part_id=<pid>/`` parquet.  The
+    rewrite stage then loads only its own shard's list — worker memory is
+    bounded by ONE shard's duplicate ids."""
+    import numpy as np
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+    from log_formatter_ray.pipelines.flagship import _basename_tagger
+    from log_formatter_ray.sources import clean
+
+    shutil.rmtree(dropsets_dir, ignore_errors=True)
+    os.makedirs(dropsets_dir, exist_ok=True)
+    n_cluster_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(clusters_dir, "*.parquet"))
+    )
+    if coarse is None:
+        coarse = int(min(4096, max(64, n_cluster_rows // 100_000)))
+
+    corpus_ids = clean(
+        rd.read_parquet_bulk(pending_files, columns=[id_col], include_paths=True)
+    ).map_batches(
+        _basename_tagger(pending_files), batch_format="pyarrow", batch_size=None
+    )
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        return pa.table(
+            {
+                "part_id": t["part_id"].combine_chunks(),
+                "id": ids,
+                "_slot": pa.array(np.ones(len(t), np.int8)),
+                PART_COL: pa.array(
+                    hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+                ),
+            }
+        )
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.invert(pc.equal(t["id"], t["rep"])))
+        ids = sub["id"].combine_chunks()
+        return pa.table(
+            {
+                "part_id": pa.nulls(len(sub), pa.string()),
+                "id": ids,
+                "_slot": pa.array(np.zeros(len(sub), np.int8)),
+                PART_COL: pa.array(
+                    hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+                ),
+            }
+        )
+
+    unioned = corpus_ids.map_batches(
+        tag_corpus, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).union(
+        clean(rd.read_parquet(clusters_dir)).map_batches(
+            tag_drop, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+    )
+
+    def semi(group: pa.Table) -> pa.Table:
+        slot = group["_slot"]
+        drop_ids = group.filter(pc.equal(slot, 0))["id"]
+        rows = group.filter(pc.equal(slot, 1))
+        if not len(drop_ids) or not len(rows):
+            return rows.slice(0, 0).select(["part_id", "id"])
+        hit = rows.filter(
+            pc.is_in(
+                rows["id"], value_set=pc.unique(drop_ids.combine_chunks())
+            )
+        )
+        return hit.select(["part_id", "id"])
+
+    unioned.groupby(PART_COL).map_groups(
+        semi, batch_format="pyarrow"
+    ).write_parquet(dropsets_dir, partition_cols=["part_id"])
+
+
 class _FilterAndWrite:
     """Fused drop-filter + per-partition parquet write + partial counts.
 
-    Per batch: drop rows whose id is in the broadcast duplicate set, write
-    one parquet file per part_id slice under ``data/part_id=<pid>/``, and
-    return ONLY (part_id, rows_in, rows_kept) partials — kilobytes per
-    block, the corpus never crosses an operator boundary (the flagship's
-    RouteAndWrite pattern, flagship.py:115-200)."""
+    Per batch: drop rows whose id is in the duplicate set — either the
+    broadcast array (small plan) or the shard's own drop list loaded
+    lazily from ``dropsets_dir/part_id=<pid>/`` and cached per worker
+    (big plan) — write one parquet file per part_id slice under
+    ``data/part_id=<pid>/``, and return ONLY (part_id, rows_in,
+    rows_kept) partials — kilobytes per block, the corpus never crosses
+    an operator boundary (the flagship's RouteAndWrite pattern,
+    flagship.py:115-200)."""
 
-    def __init__(self, drop_ref, data_dir: str, id_col: str):
+    def __init__(self, drop_ref, data_dir: str, id_col: str,
+                 dropsets_dir: str | None = None):
         self.drop_ref = drop_ref
         self.data_dir = data_dir
         self.id_col = id_col
+        self.dropsets_dir = dropsets_dir
+        self._dropset_cache: dict = {}
+
+    def _dropset_for(self, pid: str):
+        """The shard's drop-id array (or None), cached per worker."""
+        if pid not in self._dropset_cache:
+            arr = None
+            d = os.path.join(self.dropsets_dir, f"part_id={pid}")
+            if os.path.isdir(d):
+                t = pq.read_table(d, columns=["id"])
+                if len(t):
+                    arr = t["id"].combine_chunks()
+            self._dropset_cache[pid] = arr
+        return self._dropset_cache[pid]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -96,6 +222,26 @@ class _FilterAndWrite:
             keep_mask = pc.invert(
                 pc.is_in(batch[self.id_col], value_set=ray.get(self.drop_ref))
             )
+        elif self.dropsets_dir is not None:
+            # per-pid drop lists; batches are per-shard slices in practice
+            dict_pid = pc.dictionary_encode(batch["part_id"])
+            if isinstance(dict_pid, pa.ChunkedArray):
+                dict_pid = dict_pid.combine_chunks()
+            codes_np = dict_pid.indices.to_numpy(zero_copy_only=False)
+            keep_np = np.ones(len(batch), dtype=bool)
+            for ci, pid in enumerate(dict_pid.dictionary.to_pylist()):
+                drop = self._dropset_for(pid)
+                if drop is None:
+                    continue
+                sel = codes_np == ci
+                sub = batch[self.id_col].combine_chunks().take(
+                    pa.array(np.flatnonzero(sel))
+                )
+                hit = pc.is_in(sub, value_set=drop).to_numpy(
+                    zero_copy_only=False
+                )
+                keep_np[np.flatnonzero(sel)[np.asarray(hit, bool)]] = False
+            keep_mask = pa.array(keep_np)
         else:
             keep_mask = pa.array(np.ones(len(batch), dtype=bool))
 
@@ -151,6 +297,7 @@ def run_dedup_job(
     threshold: float = 0.6,
     resume: bool = True,
     cluster_kwargs: dict | None = None,
+    drop_broadcast_limit: int = 5_000_000,
 ) -> DedupJobResult:
     """Run (or resume) the near-dedup job.  Ray must already be initialised.
 
@@ -196,11 +343,12 @@ def run_dedup_job(
         with open(marker, "w") as f:
             f.write(spec)
 
-    ct = pq.read_table(clusters_dir)  # (id, rep): sparse by the near-dup
-    dup_ids = ct.filter(pc.invert(pc.equal(ct["id"], ct["rep"])))[
-        "id"
-    ].combine_chunks()
-    drop_ref = ray.put(dup_ids) if len(dup_ids) else None
+    # cluster-map size from parquet FOOTERS only — the plan choice must not
+    # require materializing a potentially-billion-row map on the driver
+    n_cluster_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(os.path.join(clusters_dir, "*.parquet"))
+    )
 
     # ---- Stage B: shard-granular filtered rewrite ------------------------
     parts = assign_partitions(files)
@@ -227,6 +375,35 @@ def run_dedup_job(
     for pid in pending:
         clean_partition_output(data_dir, pid)
 
+    # ---- drop-set plan, chosen by cluster-map size -----------------------
+    # * small (≤ drop_broadcast_limit cluster rows): driver reads the map,
+    #   broadcasts the duplicate-id array once — no extra pass.
+    # * big: the duplicate ids never touch the driver.  ONE distributed
+    #   semi-join shuffles only the pending shards' (part_id, id) columns
+    #   against the cluster Dataset (hash(id)-partitioned) and writes a
+    #   PER-SHARD drop list under out_dir/_dropsets/part_id=<pid>/; the
+    #   rewrite then loads only its own shard's list.  The corpus payload
+    #   never shuffles, per-task memory is bounded by one shard's ids, and
+    #   the shard-granular manifest/resume contract is untouched.
+    drop_ref = None
+    dropsets_dir = None
+    if n_cluster_rows <= drop_broadcast_limit:
+        ct = pq.read_table(clusters_dir)  # (id, rep): sparse by assumption
+        dup_ids = ct.filter(pc.invert(pc.equal(ct["id"], ct["rep"])))[
+            "id"
+        ].combine_chunks()
+        n_dup_ids = len(dup_ids)
+        drop_ref = ray.put(dup_ids) if len(dup_ids) else None
+    else:
+        n_dup_ids = _count_dup_ids(clusters_dir)
+        if pending:
+            dropsets_dir = os.path.join(out_dir, "_dropsets")
+            _build_dropsets(
+                clusters_dir, dropsets_dir,
+                sorted(f for fs in pending.values() for f in fs),
+                id_col,
+            )
+
     if pending:
         from log_formatter_ray.pipelines.flagship import _basename_tagger
 
@@ -238,7 +415,7 @@ def run_dedup_job(
             _basename_tagger(pfiles), batch_format="pyarrow", batch_size=None
         )
         partials = ds.map_batches(
-            _FilterAndWrite(drop_ref, data_dir, id_col),
+            _FilterAndWrite(drop_ref, data_dir, id_col, dropsets_dir),
             batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         ).to_pandas()
         agg = (
@@ -264,8 +441,8 @@ def run_dedup_job(
     rows_kept = sum(m.rows_routed for m in done.values())
     return DedupJobResult(
         clusters_path=clusters_dir,
-        n_clustered_docs=len(ct),
-        n_dup_ids=len(dup_ids),
+        n_clustered_docs=n_cluster_rows,
+        n_dup_ids=n_dup_ids,
         rows_in=rows_in,
         rows_kept=rows_kept,
         rows_dropped=rows_in - rows_kept,

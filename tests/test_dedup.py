@@ -134,6 +134,61 @@ def test_dedup_by_clusters_empty_is_noop():
     assert dedup_by_clusters(ds, empty).count() == 2
 
 
+@pytest.mark.parametrize("with_tokens", [False, True])
+def test_dedup_by_clusters_partitioned_matches_broadcast(with_tokens):
+    """The hash-partitioned anti-join plan (forced by broadcast_limit=0)
+    must keep exactly the rows the broadcast plan keeps — including a
+    list<int32> tokens payload, which must survive the pyarrow-format
+    shuffle byte-exactly."""
+    n = 500
+    ids = [f"doc-{i:04d}" for i in range(n)]
+    cols = {
+        "doc_id": pa.array(ids),
+        "text": pa.array([f"text {i}" for i in range(n)]),
+    }
+    rng = np.random.default_rng(5)
+    if with_tokens:
+        toks = [rng.integers(0, 2**31 - 1, size=rng.integers(1, 9)).astype(np.int32)
+                for _ in range(n)]
+        cols["tokens"] = pa.array([t.tolist() for t in toks], pa.list_(pa.int32()))
+    ds = rd.from_arrow(pa.table(cols)).repartition(8)
+    # every 5th doc is a dup of the preceding rep
+    clusters = pd.DataFrame(
+        {
+            "id": [ids[i] for i in range(0, n, 5)],
+            "rep": [ids[i - (i % 10)] for i in range(0, n, 5)],
+        }
+    )
+    kept_b = (
+        dedup_by_clusters(ds, clusters, mode="broadcast")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    kept_p = (
+        dedup_by_clusters(ds, clusters, mode="partitioned", coarse=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(kept_b.columns) == list(kept_p.columns)
+    pd.testing.assert_frame_equal(kept_b, kept_p)
+    # auto above the (forced-zero) limit picks the partitioned plan
+    kept_auto = (
+        dedup_by_clusters(ds, clusters, mode="auto", broadcast_limit=0, coarse=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(kept_b, kept_auto)
+    # Dataset-typed clusters exercise the distributed drop-set path
+    kept_ds = (
+        dedup_by_clusters(ds, rd.from_pandas(clusters), mode="partitioned",
+                          coarse=16)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(kept_b, kept_ds)
+    if with_tokens:
+        # byte-exact list payload after the shuffle
+        orig = {i: t for i, t in zip(ids, (c.tolist() for c in toks))}
+        for _, row in kept_p.iterrows():
+            assert list(row["tokens"]) == orig[row["doc_id"]]
+
+
 def test_minhash_distributed_cc_matches_local(dup_table):
     """The iterative min-label-propagation CC plan must produce the exact
     same clusters as the single-worker contraction plan."""

@@ -101,3 +101,34 @@ def test_dedup_job_new_shard_invalidates_cluster_map(tmp_path):
     assert res.rows_in == 33
     assert res.n_dup_ids == 4  # 10, 11, 20, 30
     assert _read_ids(out) == sorted(set(range(33)) - {10, 11, 20, 30})
+
+
+def test_dedup_job_big_drop_plan_matches_broadcast(tmp_path):
+    """drop_broadcast_limit=0 forces the per-shard dropset semi-join plan
+    (the duplicate ids never touch the driver); its output corpus must be
+    identical to the broadcast plan's."""
+    src = str(tmp_path / "in")
+    _make_corpus(src)
+
+    out_b = str(tmp_path / "out_broadcast")
+    res_b = run_dedup_job(src, out_b, threshold=0.5)
+
+    out_p = str(tmp_path / "out_partitioned")
+    res_p = run_dedup_job(src, out_p, threshold=0.5, drop_broadcast_limit=0)
+
+    assert res_p.n_dup_ids == res_b.n_dup_ids > 0
+    assert res_p.rows_kept == res_b.rows_kept
+    assert _read_ids(out_p) == _read_ids(out_b)
+    # per-shard dropsets exist only for shards that actually lost rows
+    t_b = pq.read_table(os.path.join(out_b, "data"))
+    t_p = pq.read_table(os.path.join(out_p, "data"))
+    assert t_p.sort_by("doc_id").equals(t_b.sort_by("doc_id"))
+    assert os.path.isdir(os.path.join(out_p, "_dropsets"))
+
+    # resume on the big plan: wipe one manifest, rerun, identical output
+    mdir = os.path.join(out_p, "_manifests")
+    victim = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, victim))
+    res_r = run_dedup_job(src, out_p, threshold=0.5, drop_broadcast_limit=0)
+    assert len(res_r.processed_partitions) == 1
+    assert _read_ids(out_p) == _read_ids(out_b)
