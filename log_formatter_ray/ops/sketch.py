@@ -143,12 +143,18 @@ def approx_distinct_per_window(
     per-key mergeable-HLL reduce: per (block × window) 4 KB sketches are
     the only thing that shuffles, so a corpus-scale hour still costs
     |blocks| sketch rows, never its event count.  Windows ride the shuffle
-    as int64 micros (Ray's sort groupby pickles nullable timestamps) and
-    are recast at the end; null timestamps form their own null window."""
+    as int64 in the SOURCE unit (Ray's sort groupby pickles nullable
+    timestamps) and are recast to that same unit at the end — a hardcoded
+    'us' recast would silently mis-scale timestamp[s]/[ns] inputs (ADVICE
+    r3); null timestamps form their own null window."""
     import pyarrow.compute as _pc
 
+    ts_type = dict(zip(ds.schema().names, ds.schema().types))[ts_col]
+    if not (isinstance(ts_type, pa.DataType) and pa.types.is_timestamp(ts_type)):
+        ts_type = pa.timestamp("us")
+
     def floor_to_int(b: pa.Table) -> pa.Table:
-        w = _pc.floor_temporal(b[ts_col], unit=unit)
+        w = _pc.floor_temporal(b[ts_col].cast(ts_type), unit=unit)
         return pa.table(
             {
                 out_key: _pc.cast(w, pa.int64()).combine_chunks(),
@@ -165,7 +171,7 @@ def approx_distinct_per_window(
     def recast(t: pa.Table) -> pa.Table:
         i = t.column_names.index(out_key)
         return t.set_column(
-            i, out_key, _pc.cast(t[out_key], pa.timestamp("us"))
+            i, out_key, _pc.cast(t[out_key], ts_type)
         )
 
     return out.map_batches(

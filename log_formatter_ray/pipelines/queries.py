@@ -1633,7 +1633,10 @@ def q_tfidf_top_term(sf_dir: str):
 
 _SQL_TFIDF_TOP_TERM = """
 WITH words AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  -- coalesce: the Ray side fill_nulls text to '' (a null-text doc yields
+  -- a term='' row); without it the oracle would emit no row for that doc
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS w
+  FROM documents
 ),
 tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w),
 df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY w),

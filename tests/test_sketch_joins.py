@@ -268,3 +268,38 @@ def test_approx_distinct_per_window_within_tolerance():
         key = w if not pd.isna(w) else pd.NaT
         g = got[key] if not pd.isna(w) else got[got.index.isna()].iloc[0]
         assert abs(g - ex) / ex < 0.06, (w, g, ex)
+
+
+def test_approx_distinct_per_window_source_unit_preserved():
+    """ADVICE r3: a timestamp[s] (or [ns]) ts column must come back as
+    window labels in the SOURCE unit's true instants — the round-3 code
+    reinterpreted source-unit int64 as microseconds."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import approx_distinct_per_window
+
+    secs = np.array([0, 10, 3600, 3700, 7200], np.int64)
+    users = ["a", "b", "a", "c", "a"]
+    for unit in ("s", "ms", "ns"):
+        scale = {"s": 1, "ms": 1_000, "ns": 1_000_000_000}[unit]
+        t = pa.table(
+            {
+                "ts": pa.array(secs * scale, pa.timestamp(unit)),
+                "user_id": pa.array(users),
+            }
+        )
+        out = (
+            approx_distinct_per_window(
+                rd.from_arrow(t).repartition(2), "ts", "user_id", unit="hour"
+            )
+            .to_pandas()
+            .sort_values("window")
+            .reset_index(drop=True)
+        )
+        got = pd.to_datetime(out["window"]).tolist()
+        exp = pd.to_datetime([0, 3600, 7200], unit="s").tolist()
+        assert got == exp, (unit, got)
+        assert out["approx_n"].tolist() == [2, 2, 1]

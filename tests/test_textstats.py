@@ -326,3 +326,49 @@ def test_top_distinctive_term_brute_force_parity(ray_session):
         assert out.loc[i, "term"] == best, (i, s)
         assert out.loc[i, "tf"] == tf[best]
         assert out.loc[i, "df"] == exp_df[best]
+
+
+def test_build_doc_freq_capped_bounded_and_consistent():
+    """VERDICT r3 item 6: a heavy-tail vocabulary (every doc carries unique
+    junk words) must not flood the driver when min_df/max_vocab are set,
+    and pass 2 must tolerate the resulting out-of-vocab words."""
+    import numpy as np
+    import ray.data as rd
+
+    from log_formatter_ray.ops.textstats import (
+        build_doc_freq,
+        top_distinctive_term,
+    )
+
+    common = ["alpha", "beta", "gamma"]
+    texts = [
+        f"{common[i % 3]} {common[(i + 1) % 3]} junk{i}a junk{i}b junk{i}c"
+        for i in range(400)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(4)
+
+    v_full, df_full = build_doc_freq(ds)
+    assert len(v_full) == 3 + 3 * 400  # the junk tail IS the vocabulary
+
+    # min_df floors the tail before the driver collect
+    v_cap, df_cap = build_doc_freq(ds, min_df=2)
+    assert sorted(v_cap) == common
+    assert (df_cap >= 2).all()
+
+    # max_vocab keeps top-k by (df desc, word asc)
+    v_top, df_top = build_doc_freq(ds, min_df=2, max_vocab=2)
+    assert len(v_top) == 2
+
+    # pass 2 with the capped vocab: every doc still gets its best
+    # IN-VOCAB term; junk words are invisible to the argmax
+    out = top_distinctive_term(t, v_cap, df_cap).to_pandas()
+    assert len(out) == len(texts)
+    assert set(out["term"]) <= set(common)
+
+    # a doc with ONLY out-of-vocab words emits no row
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["junkonly wordsx", "alpha beta"])})
+    out2 = top_distinctive_term(t2, v_cap, df_cap).to_pandas()
+    assert out2["doc_id"].tolist() == [1]

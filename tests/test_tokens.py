@@ -170,3 +170,14 @@ def test_pack_sequences_spill_empty_input(tmp_path):
     res = pack_sequences_spill(rd.from_arrow(t), str(tmp_path))
     assert res["n_packs"] == 0 and res["n_seqs"] == 0
     assert res["total_tokens"] == 0 and res["fill"] == 0.0
+
+
+def test_token_histogram_tree_reduce_invariant(seq_batch):
+    """VERDICT r3 item 7: the tree reduce (fused first level + repartition
+    + second level) must give the identical histogram for any reduce
+    shape."""
+    ds = rd.from_arrow(seq_batch).repartition(16)
+    base = token_histogram(ds, vocab_size=50257)
+    narrow = token_histogram(ds, vocab_size=50257, reduce_width=2,
+                             merge_batch=3)
+    assert np.array_equal(base, narrow)
