@@ -1,0 +1,255 @@
+"""Pluggable streaming-source connectors — the reference's continuous
+input surface (Kafka consumer groups, ES periodic re-poll) as an
+offset-based poll interface over bounded Ray Datasets.
+
+The reference's core identity is an unbounded pump loop feeding a queue
+(/root/reference/agent/input/input.go:95-102) with at-least-once delivery:
+Kafka offsets are committed only AFTER a message is enqueued
+(/root/reference/agent/input/kafka/kafka.go:182-186).  A Ray Data engine
+is batch-native, so the faithful rebuild is a CONNECTOR contract:
+
+* ``StreamConnector.poll(offset)`` returns the DELTA since ``offset`` as a
+  bounded ``ray.data.Dataset`` plus the successor offset — each delta runs
+  through the normal streaming-executor pipeline;
+* :func:`run_stream` is the pump loop: poll → handler → COMMIT the offset
+  durably (atomic rename), in that order — a crash between handler and
+  commit replays the delta, which is exactly the reference's at-least-once
+  contract (pair it with idempotent manifest-gated writes, as
+  ``pipelines/flagship.py`` does, for effectively-once output);
+* ``CONNECTORS`` is the same name→factory registry the file/console
+  sources use (the ``.so``-plugin analog,
+  /root/reference/agent/input/input.go:75-93): a user points the engine at
+  an actual queue by registering a connector whose ``poll`` wraps their
+  consumer API and returns ``ray.data.from_arrow(...)`` /
+  ``read_parquet(...)`` deltas.
+
+For wire formats Ray has no reader for, :class:`CallbackDatasource` is the
+escape hatch: one custom ``Datasource`` whose read tasks invoke
+user-supplied zero-argument callables returning Arrow tables, so the fetch
+runs IN Ray workers (parallel, retryable) rather than on the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+
+import ray.data as rd
+
+
+# ---------------------------------------------------------------------------
+# Connector contract + registry
+# ---------------------------------------------------------------------------
+
+class StreamConnector:
+    """Offset-based poll contract.
+
+    ``poll(offset)`` → ``(delta, new_offset)`` where ``delta`` is a bounded
+    ``ray.data.Dataset`` of records that arrived after ``offset`` (``None``
+    when there is nothing new) and ``new_offset`` is an opaque
+    JSON-serializable value.  ``poll`` must be REPEATABLE: calling it again
+    with the same ``offset`` re-delivers the same (or a superset of the)
+    delta — the property that makes crash-replay at-least-once.
+    """
+
+    def poll(self, offset: Any) -> tuple["rd.Dataset | None", Any]:
+        raise NotImplementedError
+
+
+class ParquetDirConnector(StreamConnector):
+    """File-arrival connector: each poll picks up parquet shards that were
+    not part of ``offset`` (a sorted list of seen basenames — the
+    consumer-group offset of the file-shard-as-topic-partition model,
+    SURVEY §2.1).  New files are read column-pruned and schema-cleaned."""
+
+    def __init__(self, path: str, columns: list[str] | None = None):
+        self.path = path
+        self.columns = columns
+
+    def poll(self, offset):
+        from log_formatter_ray.sources import clean
+
+        seen = set(offset or [])
+        names = sorted(
+            f for f in os.listdir(self.path) if f.endswith(".parquet")
+        )
+        new = [f for f in names if f not in seen]
+        if not new:
+            return None, sorted(seen)
+        ds = clean(rd.read_parquet_bulk(
+            [os.path.join(self.path, f) for f in new], columns=self.columns
+        ))
+        return ds, sorted(seen | set(new))
+
+
+class ItemsConnector(StreamConnector):
+    """In-memory queue connector (tests / console analog): ``push`` rows
+    from any thread; each poll drains everything past the integer offset."""
+
+    def __init__(self):
+        self._rows: list[dict] = []
+
+    def push(self, *rows: dict) -> None:
+        self._rows.extend(rows)
+
+    def poll(self, offset):
+        start = int(offset or 0)
+        rows = self._rows[start:]
+        if not rows:
+            return None, start
+        return rd.from_items(rows), start + len(rows)
+
+
+CONNECTORS: dict[str, Callable[[dict], StreamConnector]] = {
+    "parquet_dir": lambda cfg: ParquetDirConnector(
+        cfg["path"], cfg.get("columns")
+    ),
+    "items": lambda cfg: ItemsConnector(),
+}
+
+
+def register_connector(
+    name: str, factory: Callable[[dict], StreamConnector]
+) -> None:
+    """The ``.so``-plugin analog for streaming inputs."""
+    CONNECTORS[name] = factory
+
+
+def build_connector(cfg: dict) -> StreamConnector:
+    (name, sub), = cfg.items()
+    if name not in CONNECTORS:
+        raise ValueError(
+            f"unknown connector {name!r}; registered: {sorted(CONNECTORS)}"
+        )
+    return CONNECTORS[name](sub or {})
+
+
+# ---------------------------------------------------------------------------
+# The pump loop with durable offsets
+# ---------------------------------------------------------------------------
+
+def load_offset(offset_path: str) -> Any:
+    try:
+        with open(offset_path) as f:
+            return json.load(f)["offset"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def commit_offset(offset_path: str, offset: Any) -> None:
+    """Atomic (tmp + rename) durable offset commit."""
+    d = os.path.dirname(offset_path) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._offset_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"offset": offset, "committed_at": time.time()}, f)
+    os.replace(tmp, offset_path)
+
+
+def run_stream(
+    connector: StreamConnector,
+    handler: Callable[["rd.Dataset"], Any],
+    offset_path: str,
+    *,
+    interval_s: float = 5.0,
+    max_polls: int | None = None,
+    stop: "object | None" = None,
+    empty_polls_to_drain: int | None = None,
+) -> list[Any]:
+    """The agent pump loop with the reference's commit discipline: handler
+    FIRST, offset commit SECOND (kafka.go:182-186) — a crash in between
+    replays the delta on restart (at-least-once; make the handler's writes
+    idempotent for effectively-once, e.g. manifest-gated partition files).
+
+    Stop with ``max_polls``, a ``threading.Event`` ``stop``, or
+    ``empty_polls_to_drain`` consecutive empty polls (the graceful-drain
+    analog, manager.go:81-88).  Returns the handler results.
+    """
+    results: list[Any] = []
+    offset = load_offset(offset_path)
+    polls = 0
+    empty = 0
+    while True:
+        delta, new_offset = connector.poll(offset)
+        if delta is not None:
+            results.append(handler(delta))
+            offset = new_offset
+            commit_offset(offset_path, offset)
+            empty = 0
+        else:
+            empty += 1
+            if empty_polls_to_drain is not None and empty >= empty_polls_to_drain:
+                break
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            break
+        if stop is not None:
+            if stop.wait(interval_s):
+                break
+        elif interval_s:
+            time.sleep(interval_s)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Custom-Datasource escape hatch
+# ---------------------------------------------------------------------------
+
+class CallbackDatasource:
+    """A generic custom ``ray.data.Datasource``: one read task per
+    user-supplied zero-argument callable returning a ``pyarrow.Table``.
+
+    This is the integration point for wire formats Ray has no reader for
+    (a queue's consumer API, a bespoke binary log): the callables execute
+    in Ray WORKERS — parallel across partitions, retried by Ray on task
+    failure — instead of fetching on the driver.  Use with
+    ``ray.data.read_datasource(CallbackDatasource([...]))``.
+    """
+
+    def __init__(self, fetchers: list[Callable[[], pa.Table]],
+                 name: str = "callback"):
+        from ray.data.datasource import Datasource
+
+        self._fetchers = list(fetchers)
+        self._name = name
+        # subclass dynamically so importing this module never hard-depends
+        # on Datasource internals at class-definition time
+        outer = self
+
+        class _DS(Datasource):
+            def get_name(self):
+                return outer._name
+
+            def estimate_inmemory_data_size(self):
+                return None
+
+            def get_read_tasks(self, parallelism: int):
+                from ray.data.block import BlockMetadata
+                from ray.data.datasource import ReadTask
+
+                tasks = []
+                for fn in outer._fetchers:
+                    meta = BlockMetadata(
+                        num_rows=None, size_bytes=None,
+                        exec_stats=None, input_files=None,
+                    )
+                    tasks.append(ReadTask(lambda fn=fn: [fn()], meta))
+                return tasks
+
+        self._ds = _DS()
+
+    def to_datasource(self):
+        return self._ds
+
+
+def read_callbacks(fetchers: list[Callable[[], pa.Table]], **kwargs):
+    """``ray.data.read_datasource`` over a :class:`CallbackDatasource`."""
+    return rd.read_datasource(
+        CallbackDatasource(fetchers).to_datasource(), **kwargs
+    )

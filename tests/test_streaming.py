@@ -1,0 +1,135 @@
+"""Streaming-source connector layer: offset-based polling, the
+handler-then-commit at-least-once discipline, the connector registry, and
+the custom-Datasource escape hatch."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from log_formatter_ray.sources.streaming import (
+    CONNECTORS,
+    ItemsConnector,
+    ParquetDirConnector,
+    build_connector,
+    commit_offset,
+    load_offset,
+    read_callbacks,
+    register_connector,
+    run_stream,
+)
+
+
+def _shard(path, ids):
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "v": pa.array([i * 10 for i in ids], pa.int64())}),
+        path,
+    )
+
+
+def test_parquet_dir_connector_delta_polls(tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _shard(os.path.join(src, "a.parquet"), [1, 2])
+    c = ParquetDirConnector(src, columns=["doc_id"])
+
+    ds, off = c.poll(None)
+    assert sorted(ds.to_pandas()["doc_id"]) == [1, 2]
+    # nothing new → None, offset unchanged
+    none, off2 = c.poll(off)
+    assert none is None and off2 == off
+    # a new shard arrives → only the delta
+    _shard(os.path.join(src, "b.parquet"), [3])
+    ds3, off3 = c.poll(off)
+    assert sorted(ds3.to_pandas()["doc_id"]) == [3]
+    # replaying the OLD offset re-delivers (the at-least-once property)
+    replay, _ = c.poll(off)
+    assert sorted(replay.to_pandas()["doc_id"]) == [3]
+    assert set(off3) == {"a.parquet", "b.parquet"}
+
+
+def test_run_stream_commits_after_handler_and_replays_on_crash(tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _shard(os.path.join(src, "a.parquet"), [1, 2])
+    _shard(os.path.join(src, "b.parquet"), [3])
+    offset_path = str(tmp_path / "state" / "offset.json")
+    seen: list[list[int]] = []
+
+    def handler(ds):
+        ids = sorted(ds.to_pandas()["doc_id"])
+        seen.append(ids)
+        return ids
+
+    out = run_stream(
+        ParquetDirConnector(src), handler, offset_path,
+        interval_s=0, max_polls=1,
+    )
+    assert out == [[1, 2, 3]]
+    assert set(load_offset(offset_path)) == {"a.parquet", "b.parquet"}
+
+    # handler crash ⇒ offset NOT committed ⇒ restart replays the delta
+    _shard(os.path.join(src, "c.parquet"), [4])
+
+    def boom(ds):
+        raise RuntimeError("crash before commit")
+
+    with pytest.raises(RuntimeError):
+        run_stream(ParquetDirConnector(src), boom, offset_path,
+                   interval_s=0, max_polls=1)
+    assert set(load_offset(offset_path)) == {"a.parquet", "b.parquet"}
+    out2 = run_stream(
+        ParquetDirConnector(src), handler, offset_path,
+        interval_s=0, max_polls=1,
+    )
+    assert out2 == [[4]]  # the crashed delta is re-delivered
+
+    # drain: consecutive empty polls end the loop
+    out3 = run_stream(
+        ParquetDirConnector(src), handler, offset_path,
+        interval_s=0, empty_polls_to_drain=2,
+    )
+    assert out3 == []
+
+
+def test_items_connector_and_registry():
+    c = ItemsConnector()
+    c.push({"message": "hello"}, {"message": "world"})
+    ds, off = c.poll(None)
+    assert ds.count() == 2 and off == 2
+    assert c.poll(off)[0] is None
+    c.push({"message": "again"})
+    ds2, off2 = c.poll(off)
+    assert ds2.to_pandas()["message"].tolist() == ["again"] and off2 == 3
+
+    # registry is the .so-plugin analog: register, build by config
+    register_connector("test_items", lambda cfg: ItemsConnector())
+    conn = build_connector({"test_items": {}})
+    assert isinstance(conn, ItemsConnector)
+    assert "parquet_dir" in CONNECTORS
+    with pytest.raises(ValueError):
+        build_connector({"nope": {}})
+
+
+def test_offset_commit_atomic_roundtrip(tmp_path):
+    p = str(tmp_path / "offsets" / "o.json")
+    assert load_offset(p) is None
+    commit_offset(p, ["a", "b"])
+    assert load_offset(p) == ["a", "b"]
+    commit_offset(p, 7)
+    assert load_offset(p) == 7
+
+
+def test_callback_datasource_reads_in_workers():
+    def make(lo):
+        def fetch() -> pa.Table:
+            return pa.table({"x": pa.array(range(lo, lo + 3), pa.int64())})
+        return fetch
+
+    ds = read_callbacks([make(0), make(10), make(20)])
+    got = sorted(ds.to_pandas()["x"])
+    assert got == [0, 1, 2, 10, 11, 12, 20, 21, 22]
