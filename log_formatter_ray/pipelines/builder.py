@@ -110,8 +110,11 @@ class PlanBuilder:
 
     def build(self):
         """→ lazy Dataset: input → formatter chain → labels → route."""
-        ds = build_source(self.cfg["input"])
+        return self.apply_stages(build_source(self.cfg["input"]))
 
+    def apply_stages(self, ds):
+        """The formatter chain → labels → route, over ANY input Dataset —
+        shared by the batch plan and the streaming per-delta handler."""
         pipe = self.cfg.get("pipeline") or {}
         for entry in pipe.get("formatters", []):
             (name, sub), = entry.items()
@@ -143,6 +146,59 @@ class PlanBuilder:
     def run(self):
         """Build and write to the configured output; returns the sink result."""
         return write_sink(self.build(), self.cfg["output"])
+
+    def run_streaming(self, offset_path: str, **loop_kwargs):
+        """Continuous mode — the reference agent's unbounded run
+        (/root/reference/agent/input/input.go:95-102) over the SAME config
+        surface: ``input`` names a registered stream connector
+        (``sources/streaming.py``), every polled delta runs the identical
+        formatter chain, and each delta's output lands under the
+        configured path in its own ``delta=<k>/`` directory (idempotent:
+        a replayed delta — crash between write and offset commit —
+        overwrites its own directory, never duplicates into another).
+        ``loop_kwargs`` forward to :func:`run_stream` (``interval_s``,
+        ``max_polls``, ``stop``, ``empty_polls_to_drain``)."""
+        import copy
+        import hashlib
+        import json as _json
+        import os as _os
+
+        from log_formatter_ray.sources.streaming import (
+            build_connector,
+            run_stream,
+        )
+
+        conn = build_connector(self.cfg["input"])
+        out_cfg = self.cfg["output"]
+        (sink_name, sink_sub), = out_cfg.items()
+        state = {"offset": None}
+
+        def handler(delta):
+            ds = self.apply_stages(delta)
+            cfg = copy.deepcopy(out_cfg)
+            if isinstance(sink_sub, dict) and "path" in sink_sub:
+                # delta directory keyed by the PRE-POLL offset: a replay
+                # of the same delta rewrites the same directory
+                key = hashlib.sha1(
+                    _json.dumps(state["offset"], sort_keys=True).encode()
+                ).hexdigest()[:12]
+                d = _os.path.join(sink_sub["path"], f"delta={key}")
+                import shutil as _shutil
+
+                _shutil.rmtree(d, ignore_errors=True)
+                cfg[sink_name]["path"] = d
+            return write_sink(ds, cfg)
+
+        class _TrackingConnector:
+            """Expose the pre-poll offset to the handler for delta keys."""
+
+            def poll(self, offset):
+                state["offset"] = offset
+                return conn.poll(offset)
+
+        return run_stream(
+            _TrackingConnector(), handler, offset_path, **loop_kwargs
+        )
 
 
 def run_config_file(path: str):

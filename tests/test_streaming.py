@@ -133,3 +133,33 @@ def test_callback_datasource_reads_in_workers():
     ds = read_callbacks([make(0), make(10), make(20)])
     got = sorted(ds.to_pandas()["x"])
     assert got == [0, 1, 2, 10, 11, 12, 20, 21, 22]
+
+
+def test_plan_builder_run_streaming_config_surface(tmp_path):
+    """The reference config surface driven continuously: input names a
+    stream connector, each delta runs the formatter chain, outputs land in
+    per-delta dirs, offsets persist across runs."""
+    from log_formatter_ray.pipelines.builder import PlanBuilder
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    _shard(os.path.join(src, "a.parquet"), [1, 2])
+    cfg = {
+        "input": {"parquet_dir": {"path": src}},
+        "pipeline": {"formatters": [{"forwarder": {}}]},
+        "output": {"parquet": {"path": out}},
+    }
+    offset_path = str(tmp_path / "offset.json")
+    pb = PlanBuilder(cfg)
+    pb.run_streaming(offset_path, interval_s=0, max_polls=1)
+    t1 = pq.read_table(out)
+    assert sorted(t1["doc_id"].to_pylist()) == [1, 2]
+
+    # second wave: only the new shard is processed, outputs accumulate
+    _shard(os.path.join(src, "b.parquet"), [3, 4])
+    PlanBuilder(cfg).run_streaming(offset_path, interval_s=0, max_polls=1)
+    t2 = pq.read_table(out)
+    assert sorted(t2["doc_id"].to_pylist()) == [1, 2, 3, 4]
+    deltas = [d for d in os.listdir(out) if d.startswith("delta=")]
+    assert len(deltas) == 2
