@@ -177,3 +177,153 @@ def approx_distinct_per_window(
     return out.map_batches(
         recast, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# t-digest: mergeable approximate quantiles (Dunning & Ertl, public
+# algorithm).  One small digest per block inside ``map_batches``, tree-
+# merged like ``token_histogram`` — ONE pass over the corpus, no shuffle.
+# The exact-but-3-pass alternative for continuous values is
+# ``stages/aggregate.py::grouped_quantile_binned``; use the digest when a
+# single streaming pass matters more than exactness (error concentrates
+# at the median, extreme quantiles are tight by the k1 scale function).
+# ---------------------------------------------------------------------------
+
+class TDigest:
+    """Merging t-digest with the k1 (arcsine) scale function.
+
+    State is two aligned float64 arrays (mean, weight) sorted by mean,
+    bounded to ~``delta`` clusters — a few KB, serializable, mergeable in
+    any order/grouping.  Compression is fully vectorized: points/clusters
+    sort by mean, map to k-space ``k(q) = δ/(2π)·asin(2q−1)``, and fuse
+    within integer k-bands (one ``np.add.reduceat`` per compress)."""
+
+    __slots__ = ("delta", "means", "weights")
+
+    def __init__(self, delta: int = 200,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = (
+            weights if weights is not None else np.empty(0, np.float64)
+        )
+
+    def _compress(self, m: np.ndarray, w: np.ndarray) -> None:
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        total = w.sum()
+        if not total:
+            self.means = np.empty(0, np.float64)
+            self.weights = np.empty(0, np.float64)
+            return
+        # left-edge quantile of each cluster, mapped to k-space
+        q = (np.cumsum(w) - w) / total
+        k = (self.delta / (2 * np.pi)) * np.arcsin(
+            np.clip(2 * q - 1, -1.0, 1.0)
+        )
+        band = np.floor(k).astype(np.int64)
+        new = np.ones(band.size, dtype=bool)
+        new[1:] = band[1:] != band[:-1]
+        starts = np.flatnonzero(new)
+        ws = np.add.reduceat(w, starts)
+        ms = np.add.reduceat(m * w, starts) / ws
+        self.means, self.weights = ms, ws
+
+    def add_array(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        if v.size:
+            self._compress(
+                np.r_[self.means, v], np.r_[self.weights, np.ones(v.size)]
+            )
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.means.size:
+            self._compress(
+                np.r_[self.means, other.means],
+                np.r_[self.weights, other.weights],
+            )
+        return self
+
+    @property
+    def n(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile (NaN on an empty digest)."""
+        if not self.means.size:
+            return float("nan")
+        if self.means.size == 1:
+            return float(self.means[0])
+        w, m = self.weights, self.means
+        total = w.sum()
+        target = q * total
+        # cluster CENTERS in cumulative-weight space
+        centers = np.cumsum(w) - w / 2
+        if target <= centers[0]:
+            return float(m[0])
+        if target >= centers[-1]:
+            return float(m[-1])
+        i = np.searchsorted(centers, target) - 1
+        span = centers[i + 1] - centers[i]
+        frac = 0.0 if span <= 0 else (target - centers[i]) / span
+        return float(m[i] + frac * (m[i + 1] - m[i]))
+
+    # -- serialization over Arrow (list<float64> of [n, means..., weights..]) --
+    def to_array(self) -> np.ndarray:
+        return np.r_[np.float64(self.means.size), self.means, self.weights]
+
+    @classmethod
+    def from_array(cls, arr: np.ndarray, delta: int = 200) -> "TDigest":
+        k = int(arr[0])
+        return cls(delta, arr[1 : 1 + k].copy(), arr[1 + k : 1 + 2 * k].copy())
+
+
+def approx_quantiles(
+    ds, col: str, qs: list[float], delta: int = 200, merge_batch: int = 64
+) -> list[float]:
+    """ONE-pass corpus-wide approximate quantiles: per-block t-digests,
+    fused first-level merge, driver finishes the (tiny) tail — the
+    ``token_histogram`` tree-reduce shape, kilobytes per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].combine_chunks().to_numpy(zero_copy_only=False)
+        d = TDigest(delta).add_array(vals.astype(np.float64))
+        arr = d.to_array()
+        return pa.table(
+            {
+                "digest": pa.ListArray.from_arrays(
+                    pa.array([0, arr.size], pa.int32()),
+                    pa.array(arr, pa.float64()),
+                )
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        acc = TDigest(delta)
+        dl = batch["digest"].combine_chunks()
+        for i in range(len(batch)):
+            acc.merge(TDigest.from_array(
+                np.asarray(dl[i].values), delta
+            ))
+        arr = acc.to_array()
+        return pa.table(
+            {
+                "digest": pa.ListArray.from_arrays(
+                    pa.array([0, arr.size], pa.int32()),
+                    pa.array(arr, pa.float64()),
+                )
+            }
+        )
+
+    merged = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).map_batches(merge, batch_format="pyarrow", batch_size=merge_batch)
+    acc = TDigest(delta)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        dl = b["digest"].combine_chunks()
+        for i in range(len(dl)):
+            acc.merge(TDigest.from_array(np.asarray(dl[i].values), delta))
+    return [acc.quantile(q) for q in qs]

@@ -346,6 +346,25 @@ def q_approx_users_per_hour(sf_dir: str):
     return approx_distinct_per_window(ds, "ts", "user_id", unit="hour")
 
 
+def q_approx_quantiles_value(sf_dir: str):
+    """ONE-pass t-digest quantiles of events.value (mergeable sketch,
+    tree-merged like token_histogram) — approximate by design →
+    rows-only; accuracy tolerance vs numpy is asserted in
+    test_sketch_joins.py.  The exact continuous-value plan is
+    ``grouped_quantile_binned`` (3 passes, bounded shuffle)."""
+    from log_formatter_ray.ops.sketch import approx_quantiles
+
+    ds = _tbl(sf_dir, "events", columns=["value"])
+    p50, p95, p99 = approx_quantiles(ds, "value", [0.5, 0.95, 0.99])
+    return pa.table(
+        {
+            "p50": pa.array([p50], pa.float64()),
+            "p95": pa.array([p95], pa.float64()),
+            "p99": pa.array([p99], pa.float64()),
+        }
+    )
+
+
 def q_route_events(sf_dir: str):
     ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
     router = Router(
@@ -1778,6 +1797,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "approx_users_per_type": q_approx_users_per_type,
     "approx_users_per_hour": q_approx_users_per_hour,
+    "approx_quantiles_value": q_approx_quantiles_value,
     "dedup_near_documents": q_dedup_near_documents,
     "minhash_clusters_documents": q_minhash_clusters_documents,
     "simhash_documents": q_simhash_documents,

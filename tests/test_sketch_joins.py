@@ -303,3 +303,49 @@ def test_approx_distinct_per_window_source_unit_preserved():
         exp = pd.to_datetime([0, 3600, 7200], unit="s").tolist()
         assert got == exp, (unit, got)
         assert out["approx_n"].tolist() == [2, 2, 1]
+
+
+def test_tdigest_quantiles_within_tolerance():
+    """t-digest accuracy on three shapes, merge-order invariance, and the
+    one-pass distributed path (approx_quantiles)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import TDigest, approx_quantiles
+
+    rng = np.random.default_rng(9)
+    shapes = {
+        "normal": rng.normal(100, 15, 80_000),
+        "uniform": rng.uniform(-5, 5, 80_000),
+        "lognormal": rng.lognormal(0, 1.5, 80_000),
+    }
+    for name, v in shapes.items():
+        d = TDigest().add_array(v)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.95, 0.99):
+            got = d.quantile(q)
+            exact = np.quantile(v, q)
+            spread = np.quantile(v, 0.99) - np.quantile(v, 0.01)
+            assert abs(got - exact) <= 0.02 * spread, (name, q, got, exact)
+
+    # mergeability: 16 chunk digests merged == one-shot within tolerance
+    v = shapes["normal"]
+    parts = [TDigest().add_array(c) for c in np.array_split(v, 16)]
+    acc = TDigest()
+    for p in parts:
+        acc.merge(p)
+    assert abs(acc.n - len(v)) < 1e-6
+    assert abs(acc.quantile(0.5) - np.quantile(v, 0.5)) <= 1.0
+
+    # the distributed one-pass path, with NaNs ignored
+    withnan = np.r_[v, [np.nan] * 50]
+    ds = rd.from_arrow(
+        pa.table({"v": pa.array(withnan, pa.float64())})
+    ).repartition(8)
+    got50, got95 = approx_quantiles(ds, "v", [0.5, 0.95])
+    assert abs(got50 - np.quantile(v, 0.5)) <= 1.0
+    assert abs(got95 - np.quantile(v, 0.95)) <= 1.5
+
+    # empty / tiny digests
+    assert np.isnan(TDigest().quantile(0.5))
+    assert TDigest().add_array(np.array([7.0])).quantile(0.9) == 7.0
