@@ -327,3 +327,65 @@ def approx_quantiles(
         for i in range(len(dl)):
             acc.merge(TDigest.from_array(np.asarray(dl[i].values), delta))
     return [acc.quantile(q) for q in qs]
+
+
+def approx_quantiles_per_key(
+    ds, key: str, col: str, qs: list[float], delta: int = 200
+):
+    """Per-``key`` one-pass approximate quantiles → Dataset (key, q_<x>
+    columns) — the t-digest twin of :func:`approx_distinct_per_key`: each
+    block emits one small digest per (block × key), a key-grouped merge
+    fuses them, and only digests ever shuffle (a hot key costs |blocks|
+    digest rows, never its row count)."""
+    import pandas as pd
+
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    key: batch[key].combine_chunks(),
+                    "digest": pa.LargeListArray.from_arrays(
+                        pa.array([0], pa.int64()), pa.array([], pa.float64())
+                    ),
+                }
+            )
+        idx = pc.sort_indices(batch[key])
+        sorted_keys = batch[key].combine_chunks().take(idx)
+        vals = batch[col].combine_chunks().take(idx).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        karr = sorted_keys.to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(karr[1:] != karr[:-1]) + 1
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, len(karr)]
+        arrs = [
+            TDigest(delta).add_array(vals[s:e]).to_array()
+            for s, e in zip(starts, ends)
+        ]
+        offsets = np.zeros(len(arrs) + 1, np.int64)
+        np.cumsum([a.size for a in arrs], out=offsets[1:])
+        digests = pa.LargeListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(np.concatenate(arrs) if arrs else np.empty(0),
+                     pa.float64()),
+        )
+        return pa.table(
+            {key: sorted_keys.take(pa.array(starts)), "digest": digests}
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        acc = TDigest(delta)
+        for arr in g["digest"].to_numpy():
+            acc.merge(TDigest.from_array(np.asarray(arr), delta))
+        out = {key: [g[key].iloc[0]]}
+        for q, c in zip(qs, qcols):
+            out[c] = [acc.quantile(q)]
+        return pd.DataFrame(out)
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")

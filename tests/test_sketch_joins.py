@@ -349,3 +349,29 @@ def test_tdigest_quantiles_within_tolerance():
     # empty / tiny digests
     assert np.isnan(TDigest().quantile(0.5))
     assert TDigest().add_array(np.array([7.0])).quantile(0.9) == 7.0
+
+
+def test_tdigest_per_key_within_tolerance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import approx_quantiles_per_key
+
+    rng = np.random.default_rng(12)
+    frames = []
+    for k, (mu, sd, n) in {"a": (0, 1, 50_000), "b": (100, 20, 30_000),
+                           "c": (-50, 5, 2_000)}.items():
+        frames.append(pd.DataFrame({"k": k, "v": rng.normal(mu, sd, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = (
+        approx_quantiles_per_key(
+            rd.from_pandas(df).repartition(8), "k", "v", [0.5, 0.95]
+        )
+        .to_pandas().set_index("k")
+    )
+    for k, sub in df.groupby("k"):
+        spread = sub["v"].quantile(0.99) - sub["v"].quantile(0.01)
+        for q, c in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
+            exact = sub["v"].quantile(q)
+            assert abs(out.loc[k, c] - exact) <= 0.02 * spread, (k, q)
