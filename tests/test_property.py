@@ -179,3 +179,48 @@ def test_grouped_quantile_disc_vs_duckdb_property(rows, q):
     assert got["k"].fillna("~").tolist() == exp["k"].fillna("~").tolist()
     for g, x in zip(got["p"], exp["p"]):
         assert (pd.isna(g) and pd.isna(x)) or g == x
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("L", "N", "P", "Zs"),
+                    whitelist_characters=" \t  ",
+                ),
+                max_size=60,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_hashed_shingles_equal_string_ngram_sets(texts, k):
+    """The round-4 hashed-word rolling-fold shingles must agree with the
+    string ngram_set oracle on SIZE per row and on pairwise Jaccard —
+    including unicode whitespace (str.split semantics), nulls, and short
+    rows (single whole-row shingle)."""
+    import pyarrow as pa
+
+    from log_formatter_ray.ops.dedup import (
+        _jaccard_sorted,
+        _ngram_hash_sets,
+        jaccard,
+        ngram_set,
+    )
+
+    sets = _ngram_hash_sets(
+        list(range(len(texts))), pa.array(texts, pa.string()), k
+    )
+    refs = [ngram_set(t, k) for t in texts]
+    for i, r in enumerate(refs):
+        assert len(sets[i]) == len(r), (i, texts[i], k)
+    for i in range(len(texts)):
+        for j in range(i, len(texts)):
+            assert abs(
+                _jaccard_sorted(sets[i], sets[j]) - jaccard(refs[i], refs[j])
+            ) < 1e-12, (texts[i], texts[j], k)
