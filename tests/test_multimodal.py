@@ -163,3 +163,50 @@ def test_real_resize_emits_decodable_thumbnail():
         thumb = decode_ppm(t)
         assert thumb.shape == (8, 8, 3)
         assert thumb.dtype == np.uint8
+
+
+def test_spectrogram_featurizer_separates_tones():
+    """Pure-numpy spectral embeddings: two pure tones at well-separated
+    frequencies must peak in different bands and be deterministic; the
+    actor stage runs over a Dataset and emits fixed-size list<float32>."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.multimodal import (
+        SpectrogramFeaturizer,
+        encode_wav,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate  # 1 s
+    low = (np.sin(2 * np.pi * 200 * t) * 12000).astype(np.int16)
+    high = (np.sin(2 * np.pi * 3000 * t) * 12000).astype(np.int16)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array(
+                [encode_wav(low, rate), encode_wav(high, rate)], pa.binary()
+            ),
+        }
+    )
+    feat = SpectrogramFeaturizer(n_bands=16)
+    out = feat(tbl)
+    embs = np.asarray(
+        out["spec_embedding"].combine_chunks().flatten()
+    ).reshape(2, 16)
+    assert np.argmax(embs[0]) < np.argmax(embs[1])  # low tone → lower band
+    # deterministic
+    out2 = SpectrogramFeaturizer(n_bands=16)(tbl)
+    embs2 = np.asarray(
+        out2["spec_embedding"].combine_chunks().flatten()
+    ).reshape(2, 16)
+    assert np.array_equal(embs, embs2)
+
+    # as an actor-pool Dataset stage
+    ds = rd.from_arrow(tbl).map_batches(
+        SpectrogramFeaturizer, concurrency=1, batch_size=None,
+        batch_format="pyarrow",
+    )
+    got = ds.to_pandas()
+    assert len(got) == 2 and len(got["spec_embedding"].iloc[0]) == 16
