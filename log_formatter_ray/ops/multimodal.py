@@ -423,3 +423,34 @@ class SpectrogramFeaturizer:
             pa.array(embs.reshape(-1)), self.n_bands
         )
         return batch.append_column("spec_embedding", emb_col)
+
+
+def make_tonal_audio(n_base: int = 8, n_dups: int = 4,
+                     rate: int = 8000) -> pa.Table:
+    """Deterministic tonal WAV corpus with PLANTED near-duplicates:
+    ``n_base`` clips at geometrically spaced frequencies (media_id
+    0..n_base-1; the spacing exceeds one log-spectral band at the
+    featurizer defaults, so base embeddings are pairwise distinct), plus
+    ``n_dups`` amplitude-scaled (×0.97) copies of the first ``n_dups``
+    base clips (media_id ``1000+i`` duplicates clip ``i`` — same spectrum
+    shape ⇒ cosine ≈ 1).  Fully deterministic ground truth for audio
+    near-dup pipelines (spectral embedding → cosine LSH): the expected
+    pair set is exactly {(i, 1000+i)}."""
+    rows_id, rows_payload = [], []
+    t = np.arange(rate // 2) / rate  # 0.5 s clips
+    freqs = np.geomspace(200, 3400, n_base)
+    for i, f in enumerate(freqs):
+        sig = np.sin(2 * np.pi * f * t) * 11000
+        rows_id.append(i)
+        rows_payload.append(encode_wav(sig.astype(np.int16), rate))
+        if i < n_dups:
+            rows_id.append(1000 + i)
+            rows_payload.append(
+                encode_wav((sig * 0.97).astype(np.int16), rate)
+            )
+    return pa.table(
+        {
+            "media_id": pa.array(rows_id, pa.int64()),
+            "payload": pa.array(rows_payload, pa.binary()),
+        }
+    )

@@ -1177,6 +1177,32 @@ def q_media_decode_real(sf_dir: str):
     return imgs.select_columns(["media_id", "width", "height", "n_pixels"])
 
 
+def q_media_audio_near_dups(sf_dir: str):
+    """Audio near-dup: tonal WAV clips with planted amplitude-scaled
+    duplicate copies → dependency-free spectral embeddings (numpy rfft
+    log-band, actor pool) → hyperplane-LSH cosine pairing — the
+    multimodal near-dup composition (decode → featurize → LSH).
+    Rows-only (embeddings+LSH defined by our kernels) but fully
+    deterministic: the expected pair set {(i, 1000+i)} is asserted in
+    test_multimodal.py."""
+    from log_formatter_ray.ops.dedup import embedding_dup_pairs
+    from log_formatter_ray.ops.multimodal import (
+        SpectrogramFeaturizer,
+        make_tonal_audio,
+    )
+
+    media = make_tonal_audio()
+    embs = rd.from_arrow(media).map_batches(
+        SpectrogramFeaturizer, batch_format="pyarrow", batch_size=64,
+        concurrency=2,
+    ).select_columns(["media_id", "spec_embedding"])
+    pairs = embedding_dup_pairs(
+        embs, emb_col="spec_embedding", id_col="media_id",
+        threshold=0.999, nbits=6, bands=4, coarse=16,
+    )
+    return pairs.select_columns(["a", "b"]).sort(["a", "b"])
+
+
 # ---------------------------------------------------------------------------
 # Token-sequence operators (canonical tokens payload; corpus is synthetic →
 # rows-only checks, invariants tested in tests/test_tokens.py)
@@ -1807,6 +1833,7 @@ QUERIES = {
     "ivf_ann_top10_pruned": q_ivf_ann_top10_pruned,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
+    "media_audio_near_dups": q_media_audio_near_dups,
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
 }

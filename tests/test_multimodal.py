@@ -210,3 +210,13 @@ def test_spectrogram_featurizer_separates_tones():
     )
     got = ds.to_pandas()
     assert len(got) == 2 and len(got["spec_embedding"].iloc[0]) == 16
+
+
+def test_audio_near_dup_composition_finds_planted_pairs():
+    """decode → spectral featurize → hyperplane-LSH cosine: the planted
+    amplitude-scaled copies (and ONLY them) surface as near-dup pairs."""
+    from log_formatter_ray.pipelines.queries import q_media_audio_near_dups
+
+    df = q_media_audio_near_dups("/root/testdata/sf0.001").to_pandas()
+    got = sorted(map(tuple, df[["a", "b"]].to_numpy()))
+    assert got == [(i, 1000 + i) for i in range(4)]
