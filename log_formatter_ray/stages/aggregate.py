@@ -500,7 +500,7 @@ def grouped_quantile_binned(
     return result
 
 
-def corpus_quantile_disc(ds, value_col: str, q: float):
+def corpus_quantile_disc(ds, value_col: str, q: float, mode: str = "exact"):
     """CORPUS-WIDE discrete quantile (SQL ``quantile_disc`` with no GROUP
     BY) as a driver scalar — the first pass of a two-pass global
     percentile filter.
@@ -518,7 +518,7 @@ def corpus_quantile_disc(ds, value_col: str, q: float):
     out = grouped_quantile_disc(
         ds.map_batches(add_key, batch_format="pyarrow", batch_size=None,
                        zero_copy_batch=True),
-        ["_k"], value_col, q, "_q", coarse=1,
+        ["_k"], value_col, q, "_q", coarse=1, mode=mode,
     )
     rows = out.take_all()
     if not rows or rows[0]["_q"] is None:
