@@ -11,7 +11,7 @@ slower unify on every stats merge.
 
 The schema metadata carries nothing we use (the engine's contract is
 plain Arrow columns; the ``tokens`` payload never round-trips through
-pandas at all, CLAUDE.md hard rule), so the single central fix is to
+pandas at all — a repo-wide hard rule), so the single central fix is to
 strip it at the one pandas→Arrow conversion point,
 ``PandasBlockAccessor.to_arrow``.  Reads of external parquet written by
 pandas get the same treatment via ``sources.clean``.

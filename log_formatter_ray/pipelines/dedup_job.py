@@ -14,13 +14,16 @@ Two stages, each independently resumable:
   recomputes.
 * **Stage B — shard-granular filtered rewrite (manifest-gated).**  The
   duplicate-id set (cluster members minus representatives — sparse by the
-  near-dup assumption) is broadcast once, and pending shards stream
-  through one Ray job: read → part_id tag → vectorized drop-filter →
-  per-partition parquet write (content-hashed filenames → retried tasks
-  overwrite their own files).  One atomic lineage manifest per shard;
-  resume = skip manifested shards, clean and redo the rest.  Kill the job
-  at any point and rerun: stage A is skipped, only unmanifested shards
-  are reprocessed.
+  near-dup assumption) reaches the filter by one of two plans chosen by
+  cluster-map size: broadcast once (≤ ``drop_broadcast_limit``), or — at
+  scale — a distributed semi-join that writes PER-SHARD drop lists under
+  ``_dropsets/`` (only id columns shuffle; the dup ids never touch the
+  driver).  Pending shards then stream through one Ray job: read →
+  part_id tag → vectorized drop-filter → per-partition parquet write
+  (content-hashed filenames → retried tasks overwrite their own files).
+  One atomic lineage manifest per shard; resume = skip manifested shards,
+  clean and redo the rest.  Kill the job at any point and rerun: stage A
+  is skipped, only unmanifested shards are reprocessed.
 
 The reference has no dedup (SURVEY §2 — this is training-data surface);
 the job wrapper mirrors agent.go's run-loop role for the flagship

@@ -198,3 +198,37 @@ def test_grouped_quantile_disc_float_key_with_nulls():
     em = {(None if pd.isna(r.k) else r.k): r.med for r in exp.itertuples()}
     assert gm == em
     assert len(got) == 3  # 1.5, 2.5, and ONE null-key group
+
+
+def test_grouped_quantile_binned_null_key_with_values():
+    """Binned mode must carry a NULL key group with real values through
+    all three passes (stats broadcast merge, histogram, refine) — pandas
+    merge matches NaN/None keys, which this pins."""
+    import numpy as np
+    import pandas as pd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_disc
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 500 + [None] * 400,
+            "v": rng.normal(0, 1, 900),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(4)
+    got = (
+        grouped_quantile_disc(ds, ["k"], "v", 0.9, out_col="p90",
+                              mode="binned")
+        .to_pandas()
+    )
+    gm = {(r.k if isinstance(r.k, str) else None): r.p90
+          for r in got.itertuples()}
+    exp = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.9) AS p90 FROM df GROUP BY k"
+    ).df()
+    em = {(r.k if isinstance(r.k, str) else None): r.p90
+          for r in exp.itertuples()}
+    assert set(gm) == set(em) == {"a", None}
+    for k in gm:
+        assert gm[k] == em[k], (k, gm[k], em[k])
