@@ -294,8 +294,6 @@ def grouped_quantile_binned(
     import ray
     import ray.data as rd
 
-    from ray.data.aggregate import Max, Min, Sum
-
     from log_formatter_ray.ops._shuffle import PART_COL, add_coarse_part
 
     keys = list(keys)
@@ -324,15 +322,23 @@ def grouped_quantile_binned(
             }
         )
 
-    stats = (
-        ds.map_batches(stats_partial, batch_format="pyarrow",
-                       batch_size=None, zero_copy_batch=True)
-        .groupby(keys)
-        .aggregate(
-            Min("_mn", alias_name="_mn"),
-            Max("_mx", alias_name="_mx"),
-            Sum("_n", alias_name="_n"),
+    # NOTE every shuffle in this plan groups by the int32 coarse hash
+    # part, never by the raw key columns — Ray's sort-based groupby cannot
+    # order a null key against a string/float (the same constraint the
+    # exact plan's docstring records for the value column)
+    def reduce_stats(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, dropna=False, as_index=False).agg(
+            _mn=("_mn", "min"), _mx=("_mx", "max"), _n=("_n", "sum")
         )
+
+    stats = (
+        add_coarse_part(
+            ds.map_batches(stats_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+            keys, coarse=coarse,
+        )
+        .groupby(PART_COL)
+        .map_groups(reduce_stats, batch_format="pandas")
         .to_pandas()
     )
     nn = stats[stats["_n"] > 0].reset_index(drop=True)
@@ -390,11 +396,19 @@ def grouped_quantile_binned(
             }
         )
 
+    def reduce_hist(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys + ["_bin"], dropna=False, as_index=False)[
+            "_cnt"
+        ].sum()
+
     hist = (
-        ds.map_batches(hist_partial, batch_format="pyarrow",
-                       batch_size=None, zero_copy_batch=True)
-        .groupby(keys + ["_bin"])
-        .aggregate(Sum("_cnt", alias_name="_cnt"))
+        add_coarse_part(
+            ds.map_batches(hist_partial, batch_format="pyarrow",
+                           batch_size=None, zero_copy_batch=True),
+            keys, coarse=coarse,
+        )
+        .groupby(PART_COL)
+        .map_groups(reduce_hist, batch_format="pandas")
         .to_pandas()
         .sort_values(keys + ["_bin"], kind="stable")
         .reset_index(drop=True)
