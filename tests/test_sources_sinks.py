@@ -94,3 +94,43 @@ def test_csv_sink_roundtrip(tmp_path):
 
 def test_file_sink_alias_registered():
     assert "file" in SINKS and SINKS["file"] is SINKS["csv"]
+
+
+def test_read_parquet_clean_strategies(tmp_path):
+    """The three clean-read strategies: dirty footer → explicit projected
+    schema (blocks AND inferred schema hashable); dirty + include_paths →
+    _block_udf strip; clean footer / directory → plain read untouched."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_formatter_ray.sources import read_parquet_clean
+
+    dirty = str(tmp_path / "dirty.parquet")
+    pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_parquet(dirty)
+    assert pq.read_schema(dirty).metadata  # pandas wrote its blob
+
+    ds = read_parquet_clean(dirty, columns=["a"])
+    b = ds.take_batch(3, batch_format="pyarrow")
+    assert b.schema.metadata is None
+    hash(b.schema)  # must not raise
+    assert sorted(b["a"].to_pylist()) == [1, 2, 3]
+
+    ds2 = read_parquet_clean(dirty, include_paths=True)
+    b2 = ds2.take_batch(3, batch_format="pyarrow")
+    assert not b2.schema.metadata
+    assert "path" in b2.schema.names
+
+    clean_f = str(tmp_path / "clean.parquet")
+    pq.write_table(pa.table({"a": pa.array([7], pa.int64())}), clean_f)
+    b3 = read_parquet_clean(clean_f).take_batch(1, batch_format="pyarrow")
+    assert not b3.schema.metadata
+
+    d = str(tmp_path / "adir")
+    import os as _os
+
+    _os.makedirs(d)
+    pq.write_table(pa.table({"a": pa.array([9], pa.int64())}), d + "/p.parquet")
+    assert read_parquet_clean(d).take_batch(1, batch_format="pyarrow")[
+        "a"
+    ].to_pylist() == [9]
