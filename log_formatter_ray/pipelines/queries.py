@@ -599,6 +599,20 @@ def q_dedup_near_documents(sf_dir: str):
     )
 
 
+def q_span_dup_documents(sf_dir: str):
+    """Duplicated-SPAN detection via winnowing fingerprints (Schleimer et
+    al. 2003): doc pairs sharing ≥3 selected fingerprints ⇒ sharing
+    contiguous ≥(w+k−1)-word spans.  Rows-only (fingerprint-defined) but
+    deterministic; selection guarantee and density are pinned in
+    test_winnow.py."""
+    from log_formatter_ray.ops.winnow import span_dup_pairs
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dup_pairs(
+        ds, k=5, w=4, min_shared=3, coarse=_adaptive_coarse(sf_dir)
+    ).sort(["a", "b"])
+
+
 def q_token_count_documents(sf_dir: str):
     ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(add_token_count, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
@@ -1830,6 +1844,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "jaccard_near_dups": q_jaccard_near_dups,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
+    "span_dup_documents": q_span_dup_documents,
     "ivf_ann_top10_pruned": q_ivf_ann_top10_pruned,
     "media_decode": q_media_decode,
     "media_decode_real": q_media_decode_real,
