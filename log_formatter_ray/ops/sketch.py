@@ -389,3 +389,109 @@ def approx_quantiles_per_key(
         return pd.DataFrame(out)
 
     return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: mergeable top-k over UNBOUNDED key cardinality
+# (Misra & Gries 1982; mergeable-summary form of Agarwal et al., PODS'12).
+# The exact top-k plans (groupby + Sum) shuffle one row per distinct key —
+# fine while the vocabulary is bounded; a raw web corpus's tail is not.
+# An MG summary of size m guarantees: every item with true frequency
+# > n/(m+1) is present, and reported counts are within n/(m+1) of truth.
+# ---------------------------------------------------------------------------
+
+def _mg_reduce(values: np.ndarray, counts: np.ndarray, m: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce exact/summary (value, count) pairs to an m-sized MG summary:
+    subtract the (m+1)-th largest count from everything, keep positives
+    (vectorized — no per-item loop)."""
+    if values.size <= m:
+        return values, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    d = counts[order[m]]
+    keep = order[:m]
+    kept = counts[keep] - d
+    pos = kept > 0
+    return values[keep][pos], kept[pos]
+
+
+def heavy_hitters(
+    ds, col: str, k: int = 10, m: int = 4096, merge_batch: int = 64
+):
+    """Approximate top-``k`` most frequent values of ``col`` with BOUNDED
+    memory everywhere: per-block exact counts reduce to an m-sized MG
+    summary, summaries tree-merge (concat → sum by value → reduce), and
+    the driver finishes the tail — no value-keyed corpus shuffle at all.
+
+    Returns ``(values, lower, upper)``: reported count is a LOWER bound;
+    ``upper = lower + err`` where ``err`` accumulates the subtracted mass
+    (≤ n/(m+1) total).  Any value with true frequency > n/(m+1) + the
+    k-th count is guaranteed to appear in the top-k.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+        vals = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        cnts = t["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(cnts.sum())
+        v, c = _mg_reduce(vals, cnts, m)
+        err = total - int(c.sum())  # mass subtracted by the reduction
+        return pa.table(
+            {
+                col: pa.array(v),
+                "_cnt": pa.array(c, pa.int64()),
+                # error rides along on the first row of each summary
+                "_err": pa.array(
+                    np.r_[err, np.zeros(max(len(v) - 1, 0), np.int64)]
+                    if len(v) else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([col]).aggregate([("_cnt", "sum"), ("_err", "sum")])
+        vals = t[col].combine_chunks().to_numpy(zero_copy_only=False)
+        cnts = t["_cnt_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        err = int(t["_err_sum"].to_numpy(zero_copy_only=False).sum())
+        total = int(cnts.sum())
+        v, c = _mg_reduce(vals, cnts, m)
+        err += total - int(c.sum())
+        return pa.table(
+            {
+                col: pa.array(v),
+                "_cnt": pa.array(c, pa.int64()),
+                "_err": pa.array(
+                    np.r_[err, np.zeros(max(len(v) - 1, 0), np.int64)]
+                    if len(v) else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # merge levels consume ``merge_batch`` SUMMARIES (≤ m rows each) per
+    # call: one fused level + one post-coalesce level bound any remaining
+    # fan-in, and the driver finish re-merges whatever is left (correct
+    # for ANY residual summary count — err is tracked explicitly, so the
+    # bounds hold under arbitrary merge grouping/slicing)
+    rows_per_merge = m * merge_batch
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .map_batches(merge, batch_format="pyarrow",
+                     batch_size=rows_per_merge)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow",
+                     batch_size=rows_per_merge)
+        .to_pandas()
+    )
+    err = int(merged["_err"].sum())
+    final = (
+        merged.groupby(col, as_index=False)["_cnt"].sum()
+        .sort_values(["_cnt", col], ascending=[False, True])
+        .head(k)
+    )
+    return (
+        final[col].to_numpy(),
+        final["_cnt"].to_numpy(np.int64),
+        final["_cnt"].to_numpy(np.int64) + err,
+    )

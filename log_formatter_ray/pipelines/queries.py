@@ -481,6 +481,25 @@ ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+def q_heavy_hitters_users(sf_dir: str):
+    """Top-10 users via the mergeable Misra-Gries summary — the
+    bounded-memory alternative to ``topk_users``'s exact groupby (no
+    value-keyed shuffle at all).  With distinct users < m the summary is
+    EXACT, so this shares ``topk_users``'s oracle SQL; at web scale the
+    same plan degrades gracefully to guaranteed-bracketed counts
+    (test_sketch_joins.py pins the guarantee)."""
+    from log_formatter_ray.ops.sketch import heavy_hitters
+
+    ds = _tbl(sf_dir, "events", columns=["user_id"])
+    vals, lower, _upper = heavy_hitters(ds, "user_id", k=10, m=4096)
+    return pa.table(
+        {
+            "user_id": pa.array(list(vals)),  # source-typed (str or int)
+            "n": pa.array(lower, pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
@@ -1851,6 +1870,7 @@ QUERIES = {
     "media_audio_near_dups": q_media_audio_near_dups,
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "heavy_hitters_users": q_heavy_hitters_users,
 }
 
 ORACLE_SQL = {
@@ -1875,6 +1895,9 @@ ORACLE_SQL = {
     "union_counts": _SQL_UNION_COUNTS,
     "sort_limit_documents": _SQL_SORT_LIMIT_DOCUMENTS,
     "topk_users": _SQL_TOPK_USERS,
+    # MG summary is exact below its capacity (distinct users < m at every
+    # testdata scale), so the sketch query shares the exact top-k oracle
+    "heavy_hitters_users": _SQL_TOPK_USERS,
     "dedup_exact_documents": _SQL_DEDUP_EXACT_DOCUMENTS,
     "token_count_documents": _SQL_TOKEN_COUNT_DOCUMENTS,
     "quality_stopwords": _SQL_QUALITY_STOPWORDS,

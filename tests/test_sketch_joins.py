@@ -375,3 +375,31 @@ def test_tdigest_per_key_within_tolerance():
         for q, c in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
             exact = sub["v"].quantile(q)
             assert abs(out.loc[k, c] - exact) <= 0.02 * spread, (k, q)
+
+
+def test_heavy_hitters_guarantee_and_bounds():
+    """Misra-Gries top-k: planted heavy items always surface, reported
+    counts bracket the truth (lower <= true <= upper), memory bounded by
+    m regardless of key cardinality."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.default_rng(13)
+    # 200k rows: 5 heavy values (5% each) over a 100k-value uniform tail
+    heavy = [f"H{i}" for i in range(5)]
+    n = 200_000
+    vals = np.array(
+        [heavy[rng.integers(0, 5)] if rng.random() < 0.25
+         else f"t{rng.integers(0, 100_000)}" for _ in range(n)],
+        object,
+    )
+    true = pd.Series(vals).value_counts()
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals)})).repartition(8)
+    got_vals, lower, upper = heavy_hitters(ds, "u", k=5, m=2048)
+    assert set(heavy) <= set(got_vals)  # every planted heavy item surfaces
+    for v, lo, hi in zip(got_vals, lower, upper):
+        assert lo <= true[v] <= hi, (v, lo, true[v], hi)
