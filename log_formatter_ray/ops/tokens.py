@@ -460,3 +460,85 @@ def token_histogram(
         flat = np.asarray(hl.flatten())
         total += flat.reshape(-1, vocab_size).sum(axis=0)
     return total
+
+
+def _sequence_hash128(tokens: "pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
+    """Two independent vectorized 64-bit polynomial folds over each row's
+    token values + length → a 128-bit content identity per sequence.
+    Offsets-aware: no per-row Python, tokens never leave Arrow buffers."""
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = np.asarray(tokens.values.to_numpy(zero_copy_only=False),
+                      dtype=np.uint64)
+    n = len(tokens)
+    lens = np.diff(offsets)
+    h1 = np.full(n, 0xCBF29CE484222325, np.uint64)
+    h2 = np.full(n, 0x9E3779B97F4A7C15, np.uint64)
+    p1 = np.uint64(1099511628211)
+    p2 = np.uint64(0x100000001B3 ^ 0x5DEECE66D)
+    # fold position-wise: iterate over the MAX length but operate on the
+    # still-active rows only (vectorized over rows, loop over depth —
+    # bounded by the longest sequence in the batch)
+    if flat.size:
+        # at depth d, all rows with len > d take one vectorized step —
+        # O(total tokens) gathers, loop bounded by the longest sequence
+        max_len = int(lens.max())
+        idx0 = offsets[:-1]
+        for d in range(max_len):
+            active = lens > d
+            if not active.any():
+                break
+            vals = flat[idx0[active] + d]
+            h1[active] = h1[active] * p1 + vals
+            h2[active] = (h2[active] ^ vals) * p2
+    h1 = h1 * p1 + lens.astype(np.uint64)
+    h2 = (h2 ^ lens.astype(np.uint64)) * p2
+    return h1, h2
+
+
+def dedup_sequences(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
+                    coarse: int = 256):
+    """Keep the min-``id_col`` row per distinct TOKEN SEQUENCE — exact
+    dedup of a pretokenized corpus, byte-exact on the tokens payload
+    (pyarrow end to end, never pandas).
+
+    Identity is a 128-bit double polynomial hash of (values, length)
+    (:func:`_sequence_hash128` — collision odds ~2⁻¹²⁸, far below any
+    corpus size); the shuffle key is a COARSE partition of h1 (uniform, no
+    payload skew) and the keeper is chosen per (h1, h2) run inside each
+    partition with one sort — the ``exact_dedup`` plan shape with an
+    Arrow-native group stage."""
+    import pyarrow.compute as pc
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h1, h2 = _sequence_hash128(toks)
+        batch = batch.append_column("_h1", pa.array(h1.astype(np.int64)))
+        batch = batch.append_column("_h2", pa.array(h2.astype(np.int64)))
+        return batch.append_column(
+            "_part", pa.array((h1 % np.uint64(coarse)).astype(np.int32))
+        )
+
+    hashed = ds.map_batches(
+        add_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        order = pa.compute.sort_indices(
+            group, sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
+                              (id_col, "ascending")]
+        )
+        g = group.take(order)
+        a = g["_h1"].to_numpy(zero_copy_only=False)
+        b = g["_h2"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(g), bool)
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return g.filter(pa.array(first)).drop_columns(
+            ["_h1", "_h2", "_part"]
+        )
+
+    return hashed.groupby("_part").map_groups(
+        keep_first, batch_format="pyarrow"
+    )

@@ -1385,7 +1385,32 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
        CAST(SUM(LEAST(n_tok, 2048)) AS BIGINT) AS total_tokens
 FROM read_parquet('{seq_glob}')
 """,
+        "dedup_sequences_corpus": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(len(tokens)) AS BIGINT) AS total_tokens
+FROM (SELECT DISTINCT tokens FROM read_parquet('{seq_glob}'))
+""",
     }
+
+
+def q_dedup_sequences_corpus(sf_dir: str):
+    """Exact token-SEQUENCE dedup over the canonical corpus (keep min-id
+    per distinct sequence, 128-bit double-hash identity, payload byte-
+    exact through a pyarrow-only group stage); oracle = DuckDB DISTINCT
+    over the list column (kept-row count + surviving token mass)."""
+    from log_formatter_ray.ops.tokens import dedup_sequences
+
+    ds = _sequences_ds(sf_dir)
+    kept = dedup_sequences(ds, coarse=64).select_columns(["n_tok"]).materialize()
+    n = kept.count()
+    return pa.table(
+        {
+            "n_kept": pa.array([int(n)], pa.int64()),
+            "total_tokens": pa.array(
+                [int(kept.sum("n_tok")) if n else 0], pa.int64()
+            ),
+        }
+    )
 
 
 def q_pack_sequences_stats(sf_dir: str):
@@ -1871,6 +1896,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
     "heavy_hitters_users": q_heavy_hitters_users,
+    "dedup_sequences_corpus": q_dedup_sequences_corpus,
 }
 
 ORACLE_SQL = {

@@ -181,3 +181,36 @@ def test_token_histogram_tree_reduce_invariant(seq_batch):
     narrow = token_histogram(ds, vocab_size=50257, reduce_width=2,
                              merge_batch=3)
     assert np.array_equal(base, narrow)
+
+
+def test_dedup_sequences_exact_and_byte_exact():
+    """Token-sequence exact dedup: keep min-id per distinct sequence,
+    byte-exact payload through the pyarrow-only group stage; length
+    matters ([1,2] != [1,2,0]) and prefix-sharing rows stay distinct."""
+    from log_formatter_ray.ops.tokens import dedup_sequences
+
+    rows = [
+        (0, [1, 2, 3]),
+        (1, [1, 2, 3]),       # dup of 0
+        (2, [1, 2]),          # prefix, distinct
+        (3, [1, 2, 0]),       # shares prefix + extra zero, distinct
+        (4, []),              # empty
+        (5, []),              # dup empty
+        (6, [7] * 1500),      # long
+        (7, [7] * 1500),      # dup long
+        (8, [7] * 1499),      # near-long, distinct
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(4)
+    got = dedup_sequences(ds, coarse=8).to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 2, 3, 4, 6, 8]
+    by_id = {r[0]: r[1] for r in rows}
+    for _, row in got.iterrows():
+        assert list(row["tokens"]) == by_id[row["doc_id"]]  # byte-exact
