@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "pack_sequences_global",
     "decontaminate_documents",
     "clean_corpus_pipeline",
+    # round-4 additions: winnowing span dedup, token-sequence exact dedup,
+    # MG heavy hitters, one-pass t-digest quantiles
+    "span_dup_documents",
+    "dedup_sequences_corpus",
+    "heavy_hitters_users",
+    "approx_quantiles_value",
 ]
 
 
