@@ -463,36 +463,47 @@ def token_histogram(
 
 
 def _sequence_hash128(tokens: "pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
-    """Two independent vectorized 64-bit polynomial folds over each row's
+    """Two independent vectorized 64-bit polynomial hashes over each row's
     token values + length → a 128-bit content identity per sequence.
-    Offsets-aware: no per-row Python, tokens never leave Arrow buffers."""
+
+    Flat O(total-tokens) evaluation, no per-row or per-depth loop: hash =
+    Σ f(vᵢ)·p^(end−1−i) (mod 2⁶⁴) — the exponent of every flat position is
+    its distance from its row's END, so one precomputed power table + one
+    gather + one ``np.add.reduceat`` evaluates every row at once.  The two
+    hashes use distinct odd primes and distinct value injections (v+1 and
+    v ⊕ golden) for independence.  Tokens never leave Arrow buffers."""
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = offsets - offsets[0]
     flat = np.asarray(tokens.values.to_numpy(zero_copy_only=False),
                       dtype=np.uint64)
     n = len(tokens)
-    lens = np.diff(offsets)
-    h1 = np.full(n, 0xCBF29CE484222325, np.uint64)
-    h2 = np.full(n, 0x9E3779B97F4A7C15, np.uint64)
+    lens = np.diff(offsets).astype(np.uint64)
     p1 = np.uint64(1099511628211)
-    p2 = np.uint64(0x100000001B3 ^ 0x5DEECE66D)
-    # fold position-wise: iterate over the MAX length but operate on the
-    # still-active rows only (vectorized over rows, loop over depth —
-    # bounded by the longest sequence in the batch)
+    p2 = np.uint64(0x9E3779B97F4A7C15 | 1)
+    h1 = np.zeros(n, np.uint64)
+    h2 = np.zeros(n, np.uint64)
     if flat.size:
-        # at depth d, all rows with len > d take one vectorized step —
-        # O(total tokens) gathers, loop bounded by the longest sequence
         max_len = int(lens.max())
-        idx0 = offsets[:-1]
-        for d in range(max_len):
-            active = lens > d
-            if not active.any():
-                break
-            vals = flat[idx0[active] + d]
-            h1[active] = h1[active] * p1 + vals
-            h2[active] = (h2[active] ^ vals) * p2
-    h1 = h1 * p1 + lens.astype(np.uint64)
-    h2 = (h2 ^ lens.astype(np.uint64)) * p2
+        # wraparound power tables p^0..p^(max_len-1)
+        pow1 = np.empty(max_len, np.uint64)
+        pow2 = np.empty(max_len, np.uint64)
+        pow1[0] = pow2[0] = 1
+        if max_len > 1:
+            np.multiply.accumulate(np.full(max_len - 1, p1), out=pow1[1:])
+            np.multiply.accumulate(np.full(max_len - 1, p2), out=pow2[1:])
+        # exponent of flat position i = (its row's end − 1 − i)
+        e = (
+            np.repeat(offsets[1:], np.diff(offsets)) - 1
+            - np.arange(flat.size, dtype=np.int64)
+        )
+        nonempty = offsets[:-1] < offsets[1:]
+        starts = offsets[:-1][nonempty]
+        t1 = (flat + np.uint64(1)) * pow1[e]
+        t2 = (flat ^ np.uint64(0x9E3779B97F4A7C15)) * pow2[e]
+        h1[nonempty] = np.add.reduceat(t1, starts)
+        h2[nonempty] = np.add.reduceat(t2, starts)
+    h1 = h1 * p1 + lens
+    h2 = (h2 ^ lens) * p2
     return h1, h2
 
 
