@@ -496,7 +496,22 @@ def dedup_by_clusters(
             keep, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
         )
 
-    # ---- partitioned anti-join -------------------------------------------
+    return partitioned_anti_join(
+        ds, drop_ds, id_col=id_col, drop_id_col="id", coarse=coarse
+    )
+
+
+def partitioned_anti_join(ds, drop_ds, id_col: str = "doc_id",
+                          drop_id_col: str = "id", coarse: int = 256):
+    """Corpus rows whose ``id_col`` is NOT in ``drop_ds[drop_id_col]`` —
+    the at-scale anti-join: both sides co-partition on ``hash(id) %
+    coarse`` in ONE union shuffle and each partition filters its rows
+    against only ITS drop ids (pyarrow ``map_groups``, so list columns
+    like ``tokens`` never touch pandas).  Per-partition memory is
+    |corpus|/coarse + |drop|/coarse; no process ever holds the whole drop
+    set."""
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+
     schema = ds.schema()
     types = dict(zip(schema.names, schema.types))
     corpus_cols = list(schema.names)
@@ -511,7 +526,7 @@ def dedup_by_clusters(
         return pa.table(out)
 
     def tag_drop(batch: pa.Table) -> pa.Table:
-        ids = batch["id"].combine_chunks().cast(types[id_col])
+        ids = batch[drop_id_col].combine_chunks().cast(types[id_col])
         n = len(batch)
         out = {
             c: (ids if c == id_col else pa.nulls(n, types[c]))

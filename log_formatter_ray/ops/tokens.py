@@ -508,48 +508,84 @@ def _sequence_hash128(tokens: "pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
 
 
 def dedup_sequences(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
-                    coarse: int = 256):
+                    coarse: int = 256, broadcast_limit: int = 5_000_000):
     """Keep the min-``id_col`` row per distinct TOKEN SEQUENCE — exact
     dedup of a pretokenized corpus, byte-exact on the tokens payload
     (pyarrow end to end, never pandas).
 
     Identity is a 128-bit double polynomial hash of (values, length)
     (:func:`_sequence_hash128` — collision odds ~2⁻¹²⁸, far below any
-    corpus size); the shuffle key is a COARSE partition of h1 (uniform, no
-    payload skew) and the keeper is chosen per (h1, h2) run inside each
-    partition with one sort — the ``exact_dedup`` plan shape with an
-    Arrow-native group stage."""
+    corpus size).  The TOKEN PAYLOAD NEVER SHUFFLES: only (h1, h2, id)
+    rows — ~24 B + id per sequence — go through the coarse h1-partitioned
+    groupby that elects each distinct sequence's min-id keeper; the
+    non-keeper ids come back as a drop filter (broadcast while the drop
+    set fits a worker, hash-partitioned anti-join above
+    ``broadcast_limit`` — the ``dedup_by_clusters`` plan pair)."""
     import pyarrow.compute as pc
 
-    def add_keys(batch: pa.Table) -> pa.Table:
+    import ray
+    import ray.data as rd
+
+    def hash_only(batch: pa.Table) -> pa.Table:
         toks = batch[tokens_col]
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         h1, h2 = _sequence_hash128(toks)
-        batch = batch.append_column("_h1", pa.array(h1.astype(np.int64)))
-        batch = batch.append_column("_h2", pa.array(h2.astype(np.int64)))
-        return batch.append_column(
-            "_part", pa.array((h1 % np.uint64(coarse)).astype(np.int32))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_h1": pa.array(h1.astype(np.int64)),
+                "_h2": pa.array(h2.astype(np.int64)),
+                "_part": pa.array((h1 % np.uint64(coarse)).astype(np.int32)),
+            }
         )
 
     hashed = ds.map_batches(
-        add_keys, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        hash_only, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        order = pa.compute.sort_indices(
+    def drop_ids(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
             group, sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
                               (id_col, "ascending")]
         )
         g = group.take(order)
         a = g["_h1"].to_numpy(zero_copy_only=False)
         b = g["_h2"].to_numpy(zero_copy_only=False)
-        first = np.ones(len(g), bool)
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return g.filter(pa.array(first)).drop_columns(
-            ["_h1", "_h2", "_part"]
+        dup = np.zeros(len(g), bool)
+        dup[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+        return g.filter(pa.array(dup)).select([id_col])
+
+    drops = hashed.groupby("_part").map_groups(
+        drop_ids, batch_format="pyarrow"
+    ).materialize()
+    n_drop = drops.count()
+    if not n_drop:
+        return ds
+
+    if n_drop <= broadcast_limit:
+        drop_arr = pa.concat_arrays(
+            [b[id_col].combine_chunks()
+             for b in drops.iter_batches(batch_format="pyarrow")]
+        )
+        drop_ref = ray.put(drop_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch[id_col], value_set=ray.get(drop_ref))
+                )
+            )
+
+        return ds.map_batches(
+            keep, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         )
 
-    return hashed.groupby("_part").map_groups(
-        keep_first, batch_format="pyarrow"
+    # huge drop set: hash-partitioned anti-join (corpus shuffles once)
+    from log_formatter_ray.ops.dedup import partitioned_anti_join
+
+    return partitioned_anti_join(
+        ds, drops, id_col=id_col, drop_id_col=id_col, coarse=coarse
     )
