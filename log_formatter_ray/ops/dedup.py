@@ -159,21 +159,31 @@ def _shingle_hashes(
 # ---------------------------------------------------------------------------
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
-                coarse: int = 256):
+                coarse: int = 256, mode: str = "safe",
+                broadcast_limit: int = 5_000_000):
     """Keep the min-``id_col`` row per distinct ``text_col`` value.
 
-    Hash-collision-safe: the shuffle key is a COARSE partition of the
-    64-bit content hash (uniform by construction, no text-key skew), and
-    the keeper is chosen per *actual* content: one vectorized
-    sort + drop_duplicates over each partition (``drop_duplicates`` keeps
-    the WHOLE min-id row — a per-column ``.first()`` would splice fields
-    from dropped duplicates).  Grouping by the raw hash instead would make
-    one pandas group call per distinct document — per-group Python
-    overhead dominating at corpus scale.
+    ``mode="safe"`` (default, the oracle-gate plan) is hash-COLLISION-safe:
+    the shuffle key is a COARSE partition of the 64-bit content hash
+    (uniform by construction, no text-key skew), and the keeper is chosen
+    per *actual* content: one vectorized sort + drop_duplicates over each
+    partition (``drop_duplicates`` keeps the WHOLE min-id row — a
+    per-column ``.first()`` would splice fields from dropped duplicates).
+    Every row — document text included — rides the shuffle once.
+
+    ``mode="light"`` keeps the DOCUMENT PAYLOAD out of the shuffle: only
+    (h1, h2, id) rows elect keepers per 128-bit double-hash identity
+    (collision odds ~2⁻¹²⁸ — astronomically below any corpus), and the
+    non-keeper ids come back as a broadcast drop filter (or a
+    hash-partitioned anti-join above ``broadcast_limit``).  The at-100-TB
+    plan: shuffle bytes drop from the corpus to ~24 B + id per row.
 
     Null texts dedupe to one kept row, matching SQL ``GROUP BY text``
     (which groups NULLs together).
     """
+    if mode == "light":
+        return _exact_dedup_light(ds, text_col, id_col, coarse,
+                                  broadcast_limit)
 
     def add_keys(batch: pa.Table) -> pa.Table:
         vals = batch[text_col].combine_chunks().to_numpy(zero_copy_only=False)
@@ -194,6 +204,75 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     out = hashed.groupby("_part").map_groups(keep_first, batch_format="pandas")
     return out.drop_columns(["_h", "_part"])
+
+
+def _exact_dedup_light(ds, text_col: str, id_col: str, coarse: int,
+                       broadcast_limit: int):
+    """The payload-light exact-dedup plan (see :func:`exact_dedup`)."""
+    import ray.data as rd  # noqa: F401  (plan helpers)
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        vals = batch[text_col].combine_chunks().to_numpy(zero_copy_only=False)
+        h1 = _stable_hash64(vals)
+        # genuinely independent second hash: siphash under a DIFFERENT
+        # 16-byte key (a second pass over the content, not a function of
+        # h1 — that would leave collision odds at 2^-64)
+        h2 = pd.util.hash_array(
+            np.asarray(vals, dtype=object), categorize=False,
+            hash_key="lfr-second-hash!",
+        ).astype(np.uint64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_h1": pa.array(h1.astype(np.int64)),
+                "_h2": pa.array(h2.astype(np.int64)),
+                "_part": pa.array((h1 % np.uint64(coarse)).astype(np.int32)),
+            }
+        )
+
+    hashed = ds.map_batches(
+        hash_only, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+
+    def drop_ids(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
+                              (id_col, "ascending")]
+        )
+        g = group.take(order)
+        a = g["_h1"].to_numpy(zero_copy_only=False)
+        b = g["_h2"].to_numpy(zero_copy_only=False)
+        dup = np.zeros(len(g), bool)
+        dup[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+        return g.filter(pa.array(dup)).select([id_col])
+
+    drops = hashed.groupby("_part").map_groups(
+        drop_ids, batch_format="pyarrow"
+    ).materialize()
+    if not drops.count():
+        return ds
+    if drops.count() <= broadcast_limit:
+        drop_arr = pa.concat_arrays(
+            [b[id_col].combine_chunks()
+             for b in drops.iter_batches(batch_format="pyarrow")]
+        )
+        drop_ref = ray.put(drop_arr)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch[id_col], value_set=ray.get(drop_ref))
+                )
+            )
+
+        return ds.map_batches(
+            keep, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        )
+    return partitioned_anti_join(
+        ds, drops, id_col=id_col, drop_id_col=id_col, coarse=coarse
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -376,3 +376,39 @@ def test_verify_pairs_jaccard_huge_int_ids_and_dup_pairs():
         assert out["a"].tolist() == [base + 1], mode
         assert out["b"].tolist() == [base + 2], mode
         assert out["a"].dtype == "int64", mode  # 2^62 ids survive
+
+
+def test_exact_dedup_light_matches_safe(dup_table):
+    """mode='light' (payload never shuffles, 128-bit identity) must keep
+    exactly the rows the collision-safe plan keeps — including null texts
+    and the forced partitioned-anti-join path."""
+    import pyarrow as pa
+
+    t = dup_table.append_column(
+        "extra", pa.array([f"x{i}" for i in range(len(dup_table))])
+    )
+    # add null-text rows (dedupe to one kept row, SQL GROUP BY semantics)
+    nulls = pa.table(
+        {
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": pa.nulls(2, pa.string()),
+            "extra": pa.array(["nx0", "nx1"]),
+        }
+    )
+    full = pa.concat_tables([t, nulls])
+    ds = rd.from_arrow(full).repartition(5)
+    safe = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    light = (
+        exact_dedup(ds, mode="light")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        safe[["doc_id", "text", "extra"]], light[["doc_id", "text", "extra"]]
+    )
+    forced = (
+        exact_dedup(ds, mode="light", broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        safe[["doc_id", "text", "extra"]], forced[["doc_id", "text", "extra"]]
+    )
