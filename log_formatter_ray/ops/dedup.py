@@ -364,14 +364,16 @@ class MinHasher:
         )
 
 
-def _band_explode(num_perm: int, bands: int, id_col: str, coarse: int):
-    """(id, sig) → one row per band: (id, part, bucket_key, sig).
+def _band_explode(num_perm: int, bands: int, id_col: str, coarse: int,
+                  include_sig: bool = True):
+    """(id, sig) → one row per band: (id, part, bucket_key[, sig]).
 
     ``bucket_key`` mixes (band, band-hash) into one int64 — a single-column
     uniform shuffle key; ``part = bucket_key % coarse`` is the groupby key so
     the shuffle sees ``coarse`` uniform partitions instead of one group per
     bucket (most buckets are singletons — per-group Python overhead at
-    corpus scale would dwarf the real work).
+    corpus scale would dwarf the real work).  ``include_sig=False`` emits
+    the 24-byte key rows only (the light shuffle's first pass).
     """
     rows_per_band = num_perm // bands
 
@@ -389,14 +391,14 @@ def _band_explode(num_perm: int, bands: int, id_col: str, coarse: int):
         mixed ^= _GOLDEN64 * (np.arange(1, bands + 1, dtype=np.uint64))[None, :]
         keys = mixed.reshape(-1).astype(np.int64)
         rep_idx = pa.array(np.repeat(np.arange(n), bands))
-        return pa.table(
-            {
-                id_col: ids.take(rep_idx),
-                "part": pa.array((keys % coarse).astype(np.int32)),
-                "bucket_key": pa.array(keys),
-                "sig": batch["sig"].combine_chunks().take(rep_idx),
-            }
-        )
+        out = {
+            id_col: ids.take(rep_idx),
+            "part": pa.array((keys % coarse).astype(np.int32)),
+            "bucket_key": pa.array(keys),
+        }
+        if include_sig:
+            out["sig"] = batch["sig"].combine_chunks().take(rep_idx)
+        return pa.table(out)
 
     return fn
 
@@ -459,6 +461,7 @@ def minhash_lsh_clusters(
     max_bucket: int = 200,
     coarse: int = 1024,
     cc_mode: str = "auto",
+    shuffle_mode: str = "sigs",
 ):
     """MinHash-LSH near-dup clustering → Dataset (id, rep) for docs in
     clusters of size ≥ 2 (rep = min id in cluster), sorted by id.
@@ -471,6 +474,17 @@ def minhash_lsh_clusters(
     width (rows/partition ≈ corpus×bands/coarse — raise it with corpus
     size); ``cc_mode`` picks the components plan (see
     ``connected_components``).
+
+    ``shuffle_mode="light"`` cuts the LSH shuffle from ~num_perm×8 B ×
+    bands per doc (8 KB at the defaults — several times a typical web
+    document) to 24-byte key rows: pass A shuffles (id, bucket_key) only
+    and finds the multi-member buckets; pass B re-runs the sig-carrying
+    explode over the CANDIDATE docs alone (broadcast id set — bounded by
+    the candidate count, the LSH sparsity assumption; signatures are
+    materialized once and reused).  Identical edges by construction: a
+    bucket's multi-member membership is decided by keys alone, and the
+    per-bucket estimate/truncation in pass B sees exactly the same
+    members in the same order.
 
     ``concurrency=None`` (default) runs the signature stage as elastic
     stateless tasks with a pre-constructed MinHasher — its per-worker state
@@ -496,10 +510,59 @@ def minhash_lsh_clusters(
             batch_size=None,
             concurrency=concurrency,
         )
-    exploded = sigs.map_batches(
-        _band_explode(num_perm, bands, id_col, coarse),
-        batch_format="pyarrow", batch_size=None,
-    )
+
+    if shuffle_mode == "light":
+        sigs = sigs.materialize()  # consumed twice: keys pass + fetch
+        keys_only = sigs.map_batches(
+            _band_explode(num_perm, bands, id_col, coarse, include_sig=False),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+        def members(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["bucket_key", id_col], kind="stable")
+            keys = g["bucket_key"].to_numpy()
+            starts, ends = _run_bounds(keys)
+            lens = ends - starts
+            multi = np.repeat(lens >= 2, lens)
+            out = g.loc[multi, [id_col]].drop_duplicates()
+            return out
+
+        cand = (
+            keys_only.groupby("part").map_groups(
+                members, batch_format="pandas"
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {id_col: pc.unique(t[id_col].combine_chunks())}
+                ),
+                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
+        if not len(cand):
+            import ray.data as rd
+
+            empty = pa.table({"id": pa.nulls(0, sigs.schema().types[0]),
+                              "rep": pa.nulls(0, sigs.schema().types[0])})
+            return rd.from_arrow(empty)
+        want_ref = ray.put(
+            pa.Array.from_pandas(pd.unique(cand[id_col]))
+        )
+        sub = sigs.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t[id_col], value_set=ray.get(want_ref))
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        exploded = sub.map_batches(
+            _band_explode(num_perm, bands, id_col, coarse),
+            batch_format="pyarrow", batch_size=None,
+        )
+    else:
+        exploded = sigs.map_batches(
+            _band_explode(num_perm, bands, id_col, coarse),
+            batch_format="pyarrow", batch_size=None,
+        )
     edges = exploded.groupby("part").map_groups(
         _minhash_bucket_edges(id_col, num_perm, threshold, max_bucket),
         batch_format="pandas",

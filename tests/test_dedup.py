@@ -412,3 +412,35 @@ def test_exact_dedup_light_matches_safe(dup_table):
     pd.testing.assert_frame_equal(
         safe[["doc_id", "text", "extra"]], forced[["doc_id", "text", "extra"]]
     )
+
+
+def test_minhash_light_shuffle_matches_default(dup_table):
+    """shuffle_mode='light' (24-byte key rows + candidate-only sig pass)
+    must produce the identical cluster map."""
+    ds = rd.from_arrow(dup_table).repartition(3)
+    base = (
+        minhash_lsh_clusters(ds, threshold=0.5, coarse=16)
+        .to_pandas().reset_index(drop=True)
+    )
+    light = (
+        minhash_lsh_clusters(ds, threshold=0.5, coarse=16,
+                             shuffle_mode="light")
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, light)
+
+    # all-unique corpus: no candidates, empty cluster map
+    uniq = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(
+                [f"completely distinct document {i} " + " ".join(
+                    f"u{i}x{j}" for j in range(12)) for i in range(20)]
+            ),
+        }
+    )
+    empty = minhash_lsh_clusters(
+        rd.from_arrow(uniq).repartition(2), threshold=0.5, coarse=8,
+        shuffle_mode="light",
+    ).to_pandas()
+    assert len(empty) == 0
