@@ -1149,13 +1149,16 @@ class HyperplaneBucketer:
     The projection matrix is built once per actor."""
 
     def __init__(self, emb_col: str = "embedding", nbits: int = 8, bands: int = 2,
-                 dim: int | None = None, seed: int = 42, coarse: int = 1024):
+                 dim: int | None = None, seed: int = 42, coarse: int = 1024,
+                 keys_only: bool = False, id_col: str | None = None):
         self.emb_col = emb_col
         self.nbits = nbits
         self.bands = bands
         self.seed = seed
         self.dim = dim
         self.coarse = coarse
+        self.keys_only = keys_only
+        self.id_col = id_col
         self._R = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1177,11 +1180,12 @@ class HyperplaneBucketer:
             np.int64
         )
         rep_idx = pa.array(np.repeat(np.arange(n), self.bands))
+        cols = (
+            [self.id_col] if (self.keys_only and self.id_col)
+            else batch.column_names
+        )
         out = pa.table(
-            {
-                c: batch[c].combine_chunks().take(rep_idx)
-                for c in batch.column_names
-            }
+            {c: batch[c].combine_chunks().take(rep_idx) for c in cols}
         )
         out = out.append_column("part", pa.array((keys % self.coarse).astype(np.int32)))
         return out.append_column("bucket_key", pa.array(keys))
@@ -1191,7 +1195,7 @@ def embedding_dup_pairs(
     ds, emb_col: str = "embedding", id_col: str = "vec_id",
     threshold: float = 0.95, nbits: int = 10, bands: int = 2, seed: int = 42,
     concurrency=(1, 4), max_bucket: int = 4000, block: int = 1024,
-    coarse: int = 1024,
+    coarse: int = 1024, shuffle_mode: str = "vectors",
 ):
     """Cosine ≥ threshold pairs, exact within multi-band hyperplane-LSH
     buckets → Dataset (a, b, cos).
@@ -1200,16 +1204,70 @@ def embedding_dup_pairs(
     it with more ``bands`` (OR-construction) — NOT by lowering ``nbits``,
     which blows bucket sizes up.  Buckets are capped at ``max_bucket``
     members (logged) and cosine is computed in row blocks of ``block`` so
-    per-task memory stays bounded even on degenerate content."""
-    bucketed = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs=dict(
-            emb_col=emb_col, nbits=nbits, bands=bands, seed=seed, coarse=coarse
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    per-task memory stays bounded even on degenerate content.
+
+    ``shuffle_mode="light"`` mirrors ``minhash_lsh_clusters``'s light
+    plan: pass A shuffles (id, bucket_key) rows only (vs the embedding
+    duplicated per band — KBs per row), pass B re-buckets the CANDIDATE
+    vectors alone (broadcast id set).  Identical pairs by construction:
+    bucket multi-membership is decided by keys alone."""
+    kw = dict(emb_col=emb_col, nbits=nbits, bands=bands, seed=seed,
+              coarse=coarse)
+    if shuffle_mode == "light":
+        keyed = ds.map_batches(
+            HyperplaneBucketer,
+            fn_constructor_kwargs=dict(keys_only=True, id_col=id_col, **kw),
+            batch_format="pyarrow", batch_size=None, concurrency=concurrency,
+        )
+
+        def members(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values(["bucket_key", id_col], kind="stable")
+            keys = g["bucket_key"].to_numpy()
+            starts, ends = _run_bounds(keys)
+            lens = ends - starts
+            multi = np.repeat(lens >= 2, lens)
+            return g.loc[multi, [id_col]].drop_duplicates()
+
+        cand = (
+            keyed.groupby("part").map_groups(members, batch_format="pandas")
+            .map_batches(
+                lambda t: pa.table(
+                    {id_col: pc.unique(t[id_col].combine_chunks())}
+                ),
+                batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            )
+            .to_pandas()
+        )
+        from ray.data.aggregate import Max as _Max  # noqa: F401
+
+        if not len(cand):
+            import ray.data as rd
+
+            id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
+            return rd.from_arrow(pa.table(
+                {"a": pa.nulls(0, id_type), "b": pa.nulls(0, id_type),
+                 "cos": pa.nulls(0, pa.float64())}
+            ))
+        want_ref = ray.put(pa.Array.from_pandas(pd.unique(cand[id_col])))
+        sub = ds.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t[id_col], value_set=ray.get(want_ref))
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        bucketed = sub.map_batches(
+            HyperplaneBucketer,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow", batch_size=None, concurrency=concurrency,
+        )
+    else:
+        bucketed = ds.map_batches(
+            HyperplaneBucketer,
+            fn_constructor_kwargs=kw,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["bucket_key", id_col], kind="stable")

@@ -444,3 +444,29 @@ def test_minhash_light_shuffle_matches_default(dup_table):
         shuffle_mode="light",
     ).to_pandas()
     assert len(empty) == 0
+
+
+def test_embedding_dup_light_shuffle_matches_default():
+    rng = np.random.default_rng(0)
+    V = rng.standard_normal((80, 16)).astype(np.float32)
+    V[7] = V[3] * 2.0
+    V[25] = V[11] + rng.standard_normal(16).astype(np.float32) * 1e-3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(V.reshape(-1), pa.float32()), 16
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    base = (
+        embedding_dup_pairs(ds, threshold=0.99, nbits=4)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    light = (
+        embedding_dup_pairs(ds, threshold=0.99, nbits=4, shuffle_mode="light")
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, light)
+    assert {(3, 7), (11, 25)} <= set(map(tuple, light[["a", "b"]].to_numpy()))
