@@ -224,3 +224,43 @@ def test_hashed_shingles_equal_string_ngram_sets(texts, k):
             assert abs(
                 _jaccard_sorted(sets[i], sets[j]) - jaccard(refs[i], refs[j])
             ) < 1e-12, (texts[i], texts[j], k)
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([0.1, 0.25, 0.5, 0.9, 0.95, 0.99]),
+    st.sampled_from([16, 64, 256]),
+)
+@settings(max_examples=8, deadline=None)
+def test_binned_quantile_equals_duckdb_property(seed, q, bins):
+    """grouped_quantile_binned must return DuckDB's exact quantile_disc
+    for arbitrary continuous data, q, and bin counts — including
+    duplicates straddling bin boundaries and skewed key sizes."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from log_formatter_ray.stages.aggregate import grouped_quantile_binned
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for k, n in [("big", 3000), ("small", 37), ("one", 1)]:
+        v = rng.normal(0, 1, n)
+        # inject duplicates and exact repeats
+        if n > 10:
+            v[: n // 4] = np.round(v[: n // 4], 1)
+        frames.append(pd.DataFrame({"k": k, "v": v}))
+    df = pd.concat(frames, ignore_index=True)
+    got = (
+        grouped_quantile_binned(
+            rd.from_pandas(df).repartition(4), ["k"], "v", q, "out",
+            bins=bins,
+        )
+        .to_pandas().set_index("k")["out"]
+    )
+    exp = duckdb.sql(
+        f"SELECT k, quantile_disc(v, {q}) AS out FROM df GROUP BY k"
+    ).df().set_index("k")["out"]
+    for k in ("big", "small", "one"):
+        assert got[k] == exp[k], (seed, q, bins, k, got[k], exp[k])
