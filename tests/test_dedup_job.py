@@ -132,3 +132,19 @@ def test_dedup_job_big_drop_plan_matches_broadcast(tmp_path):
     res_r = run_dedup_job(src, out_p, threshold=0.5, drop_broadcast_limit=0)
     assert len(res_r.processed_partitions) == 1
     assert _read_ids(out_p) == _read_ids(out_b)
+
+
+def test_dedup_job_light_lsh_shuffle_matches_default(tmp_path):
+    """cluster_kwargs plumb the light LSH shuffle through the resumable
+    job; output corpus identical to the default plan's."""
+    src = str(tmp_path / "in")
+    _make_corpus(src)
+    out_a = str(tmp_path / "out_default")
+    out_b = str(tmp_path / "out_light")
+    res_a = run_dedup_job(src, out_a, threshold=0.5)
+    res_b = run_dedup_job(
+        src, out_b, threshold=0.5,
+        cluster_kwargs={"shuffle_mode": "light"},
+    )
+    assert res_b.n_dup_ids == res_a.n_dup_ids > 0
+    assert _read_ids(out_b) == _read_ids(out_a)
