@@ -43,7 +43,19 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query (the rest —
     minhash/simhash/embedding LSH/pruned IVF/media — get the driver's
     rows-only check).  The sequences-corpus globs are resolved at CALL
-    time for the gate's sf dir, never frozen at import."""
-    from log_formatter_ray.pipelines.queries import oracle_sql_for
+    time for the gate's sf dir, never frozen at import — and the corpus is
+    pre-generated HERE too (idempotent), so the oracle SQL works even if
+    the driver runs it before any Ray query touched the corpus."""
+    from log_formatter_ray.fixtures import generate_sequences
+    from log_formatter_ray.pipelines.queries import (
+        oracle_sf_dir,
+        oracle_sql_for,
+        sequences_dir_for,
+    )
 
+    try:
+        corpus, rows = sequences_dir_for(oracle_sf_dir())
+        generate_sequences(corpus, rows, num_files=64)
+    except Exception:  # noqa: BLE001 — never fail the contract on pregen
+        pass
     return oracle_sql_for()
