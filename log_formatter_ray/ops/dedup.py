@@ -448,6 +448,27 @@ def _minhash_bucket_edges(id_col: str, num_perm: int, threshold: float,
     return fn
 
 
+def _candidate_filter(src, cand_ds, id_col: str, n_cand: int,
+                      broadcast_limit: int, coarse: int = 256):
+    """Restrict ``src`` to rows whose ``id_col`` is in ``cand_ds`` — the
+    light shuffle modes' pass-B filter.  Driver broadcast below
+    ``broadcast_limit`` candidate rows; hash-partitioned semi-join above
+    it so a boilerplate-heavy corpus can't exhaust the driver (the
+    ``exact_dedup`` broadcast/partitioned plan pair; ADVICE r4)."""
+    if n_cand <= broadcast_limit:
+        cand = cand_ds.to_pandas()
+        want_ref = ray.put(pa.Array.from_pandas(pd.unique(cand[id_col])))
+        return src.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t[id_col], value_set=ray.get(want_ref))
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+    return partitioned_semi_join(
+        src, cand_ds, id_col=id_col, key_col=id_col, coarse=coarse
+    )
+
+
 def minhash_lsh_clusters(
     ds,
     text_col: str = "text",
@@ -462,6 +483,7 @@ def minhash_lsh_clusters(
     coarse: int = 1024,
     cc_mode: str = "auto",
     shuffle_mode: str = "sigs",
+    broadcast_limit: int = 5_000_000,
 ):
     """MinHash-LSH near-dup clustering → Dataset (id, rep) for docs in
     clusters of size ≥ 2 (rep = min id in cluster), sorted by id.
@@ -527,7 +549,7 @@ def minhash_lsh_clusters(
             out = g.loc[multi, [id_col]].drop_duplicates()
             return out
 
-        cand = (
+        cand_ds = (
             keys_only.groupby("part").map_groups(
                 members, batch_format="pandas"
             )
@@ -537,22 +559,17 @@ def minhash_lsh_clusters(
                 ),
                 batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
             )
-            .to_pandas()
+            .materialize()  # consumed twice: count + filter plan
         )
-        if not len(cand):
+        n_cand = cand_ds.count()  # per-part-unique rows: an upper bound
+        if n_cand == 0:
             import ray.data as rd
 
             empty = pa.table({"id": pa.nulls(0, sigs.schema().types[0]),
                               "rep": pa.nulls(0, sigs.schema().types[0])})
             return rd.from_arrow(empty)
-        want_ref = ray.put(
-            pa.Array.from_pandas(pd.unique(cand[id_col]))
-        )
-        sub = sigs.map_batches(
-            lambda t: t.filter(
-                pc.is_in(t[id_col], value_set=ray.get(want_ref))
-            ),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        sub = _candidate_filter(
+            sigs, cand_ds, id_col, n_cand, broadcast_limit
         )
         exploded = sub.map_batches(
             _band_explode(num_perm, bands, id_col, coarse),
@@ -652,6 +669,25 @@ def partitioned_anti_join(ds, drop_ds, id_col: str = "doc_id",
     like ``tokens`` never touch pandas).  Per-partition memory is
     |corpus|/coarse + |drop|/coarse; no process ever holds the whole drop
     set."""
+    return _partitioned_key_join(
+        ds, drop_ds, id_col, drop_id_col, coarse, keep_matches=False
+    )
+
+
+def partitioned_semi_join(ds, keys_ds, id_col: str = "doc_id",
+                          key_col: str = "id", coarse: int = 256):
+    """Corpus rows whose ``id_col`` IS in ``keys_ds[key_col]`` — the
+    at-scale complement of :func:`partitioned_anti_join` (same one-union
+    co-partition plan, same bounded per-partition memory); the fallback
+    the light shuffle modes use when the candidate-id set outgrows a
+    driver broadcast (ADVICE r4)."""
+    return _partitioned_key_join(
+        ds, keys_ds, id_col, key_col, coarse, keep_matches=True
+    )
+
+
+def _partitioned_key_join(ds, keys_ds, id_col, key_col, coarse,
+                          keep_matches: bool):
     from log_formatter_ray.ops._shuffle import PART_COL, hash_part
 
     schema = ds.schema()
@@ -668,7 +704,7 @@ def partitioned_anti_join(ds, drop_ds, id_col: str = "doc_id",
         return pa.table(out)
 
     def tag_drop(batch: pa.Table) -> pa.Table:
-        ids = batch[drop_id_col].combine_chunks().cast(types[id_col])
+        ids = batch[key_col].combine_chunks().cast(types[id_col])
         n = len(batch)
         out = {
             c: (ids if c == id_col else pa.nulls(n, types[c]))
@@ -683,28 +719,27 @@ def partitioned_anti_join(ds, drop_ds, id_col: str = "doc_id",
     unioned = ds.map_batches(
         tag_corpus, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).union(
-        drop_ds.map_batches(
+        keys_ds.map_batches(
             tag_drop, batch_format="pyarrow", batch_size=None,
             zero_copy_batch=True,
         )
     )
 
-    def anti(group: pa.Table) -> pa.Table:
+    def filt(group: pa.Table) -> pa.Table:
         slot = group["_slot"]
-        drop_ids = group.filter(pc.equal(slot, 0))[id_col]
+        key_ids = group.filter(pc.equal(slot, 0))[id_col]
         rows = group.filter(pc.equal(slot, 1))
-        if len(drop_ids):
-            rows = rows.filter(
-                pc.invert(
-                    pc.is_in(
-                        rows[id_col],
-                        value_set=pc.unique(drop_ids.combine_chunks()),
-                    )
-                )
+        if len(key_ids):
+            mask = pc.is_in(
+                rows[id_col],
+                value_set=pc.unique(key_ids.combine_chunks()),
             )
+            rows = rows.filter(mask if keep_matches else pc.invert(mask))
+        elif keep_matches:
+            rows = rows.slice(0, 0)
         return rows.drop_columns(["_slot", PART_COL])
 
-    return unioned.groupby(PART_COL).map_groups(anti, batch_format="pyarrow")
+    return unioned.groupby(PART_COL).map_groups(filt, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -1196,6 +1231,7 @@ def embedding_dup_pairs(
     threshold: float = 0.95, nbits: int = 10, bands: int = 2, seed: int = 42,
     concurrency=(1, 4), max_bucket: int = 4000, block: int = 1024,
     coarse: int = 1024, shuffle_mode: str = "vectors",
+    broadcast_limit: int = 5_000_000,
 ):
     """Cosine ≥ threshold pairs, exact within multi-band hyperplane-LSH
     buckets → Dataset (a, b, cos).
@@ -1228,7 +1264,7 @@ def embedding_dup_pairs(
             multi = np.repeat(lens >= 2, lens)
             return g.loc[multi, [id_col]].drop_duplicates()
 
-        cand = (
+        cand_ds = (
             keyed.groupby("part").map_groups(members, batch_format="pandas")
             .map_batches(
                 lambda t: pa.table(
@@ -1236,11 +1272,10 @@ def embedding_dup_pairs(
                 ),
                 batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
             )
-            .to_pandas()
+            .materialize()  # consumed twice: count + filter plan
         )
-        from ray.data.aggregate import Max as _Max  # noqa: F401
-
-        if not len(cand):
+        n_cand = cand_ds.count()
+        if n_cand == 0:
             import ray.data as rd
 
             id_type = dict(zip(ds.schema().names, ds.schema().types))[id_col]
@@ -1248,13 +1283,7 @@ def embedding_dup_pairs(
                 {"a": pa.nulls(0, id_type), "b": pa.nulls(0, id_type),
                  "cos": pa.nulls(0, pa.float64())}
             ))
-        want_ref = ray.put(pa.Array.from_pandas(pd.unique(cand[id_col])))
-        sub = ds.map_batches(
-            lambda t: t.filter(
-                pc.is_in(t[id_col], value_set=ray.get(want_ref))
-            ),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
-        )
+        sub = _candidate_filter(ds, cand_ds, id_col, n_cand, broadcast_limit)
         bucketed = sub.map_batches(
             HyperplaneBucketer,
             fn_constructor_kwargs=kw,

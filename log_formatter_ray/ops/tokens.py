@@ -399,7 +399,9 @@ def _histogram_partial(vocab_size: int, tokens_col: str):
         tokens = batch[tokens_col]
         if isinstance(tokens, pa.ChunkedArray):
             tokens = tokens.combine_chunks()
-        flat = tokens.values.to_numpy(zero_copy_only=False)
+        # flatten(), not .values: a sliced block's .values would count
+        # tokens belonging to OTHER slices of the same parent array
+        flat = tokens.flatten().to_numpy(zero_copy_only=False)
         # ids outside [0, vocab_size) would crash bincount (negative) or
         # return a longer array that breaks the driver merge — drop them
         flat = flat[(flat >= 0) & (flat < vocab_size)]
@@ -474,7 +476,10 @@ def _sequence_hash128(tokens: "pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
     v ⊕ golden) for independence.  Tokens never leave Arrow buffers."""
     offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = offsets - offsets[0]
-    flat = np.asarray(tokens.values.to_numpy(zero_copy_only=False),
+    # flatten(), not .values: offsets are normalized to zero above, and on a
+    # sliced ListArray .values is the FULL unsliced child (ADVICE r4) —
+    # flatten() is the matching sliced buffer (zero-copy for non-null lists).
+    flat = np.asarray(tokens.flatten().to_numpy(zero_copy_only=False),
                       dtype=np.uint64)
     n = len(tokens)
     lens = np.diff(offsets).astype(np.uint64)

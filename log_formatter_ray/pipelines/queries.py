@@ -491,7 +491,19 @@ def q_heavy_hitters_users(sf_dir: str):
     from log_formatter_ray.ops.sketch import heavy_hitters
 
     ds = _tbl(sf_dir, "events", columns=["user_id"])
-    vals, lower, _upper = heavy_hitters(ds, "user_id", k=10, m=4096)
+    vals, lower, upper = heavy_hitters(ds, "user_id", k=10, m=4096)
+    # The shared exact-top-k oracle is only valid while the MG summary is
+    # below capacity (distinct users < m ⇒ lower == upper).  sf0.1 has
+    # ~1.5k distinct users but the corpus grows ~10× per sf step — fail
+    # LOUDLY here rather than let an over-capacity run surface as an
+    # inscrutable oracle value mismatch (ADVICE r4).
+    if not np.array_equal(np.asarray(lower), np.asarray(upper)):
+        raise AssertionError(
+            "heavy_hitters_users: MG summary over capacity (m=4096 < "
+            "distinct user_id) — counts are now bracketed, not exact, and "
+            "the shared exact top-k oracle no longer applies; raise m to "
+            ">= 4x the distinct-user estimate for this sf"
+        )
     return pa.table(
         {
             "user_id": pa.array(list(vals)),  # source-typed (str or int)
@@ -1814,12 +1826,19 @@ ORDER BY n DESC, gram ASC LIMIT 20
 # ---------------------------------------------------------------------------
 
 # Registry order matters: the driver's correctness gate exercises the FIRST
-# 50 entries only, so every oracle-backed query (has an entry in
-# ``oracle_sql_for``) sits in slots 1-50 and the rows-only queries follow.
-# There are 52 oracle-backed names for 50 slots; the two demoted to 51-52
-# (`ivf_ann_top10`, `pack_sequences_global`) reuse another gate entry's SQL
-# verbatim, so no oracle *semantics* are lost from the visible window —
-# `tools/check_oracle.py` still verifies all entries regardless of position.
+# 50 entries only.  There are 54 oracle-backed names carrying 51 DISTINCT
+# SQLs — one more unique SQL than the window holds — so the layout is:
+#   * slots 1-50: oracle-backed, 50 distinct SQLs (includes
+#     `heavy_hitters_users`, whose SQL is verbatim `topk_users`'s — the MG
+#     sketch path is the more valuable gate occupant of the pair, and
+#     `dedup_sequences_corpus`, whose DISTINCT-tokens SQL is unique);
+#   * slots 51+: `topk_users`, `ivf_ann_top10`, `pack_sequences_global`
+#     reuse a gate entry's SQL VERBATIM (no oracle semantics lost), and
+#     `sort_limit_documents` is the ONE deliberately gate-invisible
+#     unique-SQL query (plain sort+limit — its semantics are exercised by
+#     the gate's top-k / ORDER-BY-LIMIT entries; 51 unique SQLs cannot all
+#     fit 50 slots).  `tools/check_oracle.py` still verifies every entry
+#     regardless of position; test_registry.py pins this layout.
 QUERIES = {
     # --- oracle-backed (gate slots 1-50) ---
     "flagship_documents": q_flagship_documents,
@@ -1842,8 +1861,8 @@ QUERIES = {
     "tpch_q1_style": q_tpch_q1_style,
     "distinct_langs": q_distinct_langs,
     "union_counts": q_union_counts,
-    "sort_limit_documents": q_sort_limit_documents,
-    "topk_users": q_topk_users,
+    "heavy_hitters_users": q_heavy_hitters_users,
+    "dedup_sequences_corpus": q_dedup_sequences_corpus,
     "dedup_exact_documents": q_dedup_exact_documents,
     "token_count_documents": q_token_count_documents,
     "quality_stopwords": q_quality_stopwords,
@@ -1873,8 +1892,12 @@ QUERIES = {
     "tfidf_top_term": q_tfidf_top_term,
     "top_ngrams_corpus": q_top_ngrams_corpus,
     # --- oracle-backed, SQL identical to a gate entry above ---
+    "topk_users": q_topk_users,
     "ivf_ann_top10": q_ivf_ann_top10,
     "pack_sequences_global": q_pack_sequences_global,
+    # --- oracle-backed, unique SQL, deliberately gate-invisible (51
+    # unique SQLs for 50 slots; see the layout comment above) ---
+    "sort_limit_documents": q_sort_limit_documents,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,
@@ -1895,8 +1918,6 @@ QUERIES = {
     "media_audio_near_dups": q_media_audio_near_dups,
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
-    "heavy_hitters_users": q_heavy_hitters_users,
-    "dedup_sequences_corpus": q_dedup_sequences_corpus,
 }
 
 ORACLE_SQL = {

@@ -48,23 +48,38 @@ def read_parquet_clean(paths, columns=None, **kwargs) -> "rd.Dataset":
       is never combined with a clean footer: Ray's schema inference calls
       ``with_metadata(None)`` around it, which attaches an EMPTY dict —
       itself unhashable.
+
+    For a LIST of paths the first file's footer proves nothing about the
+    rest (ADVICE r4: a clean file[0] masked dirty later files, silently
+    resurrecting the warning) — so list inputs always get the explicit
+    stripped ``schema=`` from file[0] (harmless when already clean:
+    measured zero read-path cost, BASELINE.md r4), except under
+    ``include_paths`` where a declared schema would diverge from the
+    injected ``path`` column: there every footer is probed, short-
+    circuiting at the first dirty one.
     """
     import pyarrow.parquet as pq
 
     dirty = False
     if "schema" not in kwargs:
-        first = paths if isinstance(paths, str) else paths[0]
+        is_list = not isinstance(paths, str)
+        plist = list(paths) if is_list else [paths]
         try:
-            s = pq.read_schema(first)
-            dirty = bool(s.metadata)
+            if kwargs.get("include_paths"):
+                for p in plist:  # short-circuits at the first dirty footer
+                    if pq.read_schema(p).metadata:
+                        dirty = True
+                        break
+            else:
+                s = pq.read_schema(plist[0])
+                if is_list or s.metadata:
+                    s = s.remove_metadata()
+                    kwargs["schema"] = (
+                        pa.schema([s.field(c) for c in columns])
+                        if columns else s
+                    )
         except Exception:
             dirty = False  # directory / remote: our own writes, clean
-        if dirty and not kwargs.get("include_paths"):
-            s = s.remove_metadata()
-            kwargs["schema"] = (
-                pa.schema([s.field(c) for c in columns]) if columns else s
-            )
-            dirty = False
     if dirty:
         kwargs["_block_udf"] = _strip_schema_metadata
     return rd.read_parquet(paths, columns=columns, **kwargs)

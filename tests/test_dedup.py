@@ -429,6 +429,16 @@ def test_minhash_light_shuffle_matches_default(dup_table):
     )
     pd.testing.assert_frame_equal(base, light)
 
+    # broadcast_limit=0 forces the partitioned-semi-join pass-B filter
+    # (the at-scale path for candidate sets too big to broadcast) —
+    # identical cluster map required (ADVICE r4)
+    forced = (
+        minhash_lsh_clusters(ds, threshold=0.5, coarse=16,
+                             shuffle_mode="light", broadcast_limit=0)
+        .to_pandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, forced)
+
     # all-unique corpus: no candidates, empty cluster map
     uniq = pa.table(
         {
@@ -470,3 +480,10 @@ def test_embedding_dup_light_shuffle_matches_default():
     )
     pd.testing.assert_frame_equal(base, light)
     assert {(3, 7), (11, 25)} <= set(map(tuple, light[["a", "b"]].to_numpy()))
+
+    forced = (
+        embedding_dup_pairs(ds, threshold=0.99, nbits=4,
+                            shuffle_mode="light", broadcast_limit=0)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, forced)

@@ -25,3 +25,33 @@ def test_every_oracle_name_has_a_query():
     oracle = oracle_sql_for("/root/testdata/sf0.001")
     missing = [n for n in oracle if n not in QUERIES]
     assert not missing, f"oracle SQL without a query: {missing}"
+
+
+# The one unique-SQL oracle query the 50-slot gate window cannot hold
+# (51 distinct SQLs exist).  Its plain sort+limit semantics are exercised
+# by the gate's top-k / ORDER-BY-LIMIT entries; tools/check_oracle.py
+# still verifies it.  Growing this set requires the same justification.
+GATE_INVISIBLE_UNIQUE_SQL = {"sort_limit_documents"}
+
+
+def test_oracle_queries_outside_gate_share_sql_verbatim_or_allowlisted():
+    """ADVICE r4: an oracle query past slot 50 whose SQL no gate entry
+    duplicates is silently never exercised by the driver gate.  Every
+    such query must either share its SQL VERBATIM with a gate entry or
+    sit in the explicit allowlist above."""
+    oracle = oracle_sql_for("/root/testdata/sf0.001")
+    names = list(QUERIES)
+    gate_sqls = {" ".join(oracle[n].split()) for n in names[:50] if n in oracle}
+    offenders = [
+        n for n in names[50:]
+        if n in oracle
+        and " ".join(oracle[n].split()) not in gate_sqls
+        and n not in GATE_INVISIBLE_UNIQUE_SQL
+    ]
+    assert not offenders, (
+        f"unique-SQL oracle queries hidden past the gate window: {offenders}"
+    )
+    # and the allowlist must not rot: its members stay oracle-backed,
+    # registered, and actually outside the window
+    for n in GATE_INVISIBLE_UNIQUE_SQL:
+        assert n in oracle and n in names[50:]

@@ -134,3 +134,34 @@ def test_read_parquet_clean_strategies(tmp_path):
     assert read_parquet_clean(d).take_batch(1, batch_format="pyarrow")[
         "a"
     ].to_pylist() == [9]
+
+
+def test_read_parquet_clean_mixed_list(tmp_path):
+    """ADVICE r4: a CLEAN first file must not mask pandas-dirty later files
+    in a list input — every block's schema must come out hashable."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from log_formatter_ray.sources import read_parquet_clean
+
+    clean_f = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), clean_f)
+    dirty_f = str(tmp_path / "d.parquet")
+    pd.DataFrame({"a": [3, 4]}).to_parquet(dirty_f)
+    assert pq.read_schema(dirty_f).metadata
+
+    ds = read_parquet_clean([clean_f, dirty_f])
+    vals = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        assert not b.schema.metadata, "dirty later file leaked its footer"
+        hash(b.schema)  # must not raise
+        vals += b["a"].to_pylist()
+    assert sorted(vals) == [1, 2, 3, 4]
+
+    # include_paths variant: the short-circuit probe must find the dirty
+    # SECOND file and strip inside the read tasks
+    ds2 = read_parquet_clean([clean_f, dirty_f], include_paths=True)
+    for b in ds2.iter_batches(batch_format="pyarrow", batch_size=None):
+        assert not b.schema.metadata
+        assert "path" in b.schema.names

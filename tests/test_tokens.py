@@ -156,6 +156,22 @@ def test_token_histogram_out_of_range_ids_dropped():
     assert hist.sum() == 3  # 99 and -5 dropped, no crash
 
 
+def test_sequence_hash128_sliced_listarray():
+    """ADVICE r4: a SLICED ListArray's ``.values`` is the full unsliced
+    child — hashing a slice must equal hashing the same rows standalone
+    (the batch-slicing path Ray takes below batch_size=None)."""
+    from log_formatter_ray.ops.tokens import _sequence_hash128
+
+    tokens = pa.array(
+        [[1, 2, 3], [4], [5, 6], [], [7, 8, 9, 10]], pa.list_(pa.int32())
+    )
+    h1_all, h2_all = _sequence_hash128(tokens)
+    sl = tokens.slice(1, 3)
+    h1_sl, h2_sl = _sequence_hash128(sl)
+    assert np.array_equal(h1_sl, h1_all[1:4])
+    assert np.array_equal(h2_sl, h2_all[1:4])
+
+
 def test_pack_sequences_spill_empty_input(tmp_path):
     """An empty (or fully-filtered) input is a valid no-op: zero stats,
     no crash on the empty output directory."""
