@@ -29,3 +29,26 @@ class CrashOnceAfterWrite(RouteAndWrite):
                 f.write("crashed once")
             raise RuntimeError("injected failure after write")
         return out
+
+
+class MockKafkaClient:
+    """Reference implementation of the ``KafkaConnector`` consumer
+    protocol over an in-memory ``{partition: [bytes, ...]}`` log —
+    the mocked-broker test double (this sandbox has no Kafka), and the
+    documented protocol surface a real client must provide:
+    ``partitions(topic)``, ``end_offset(topic, p)``,
+    ``fetch(topic, p, start, end)`` (repeatable — seek semantics).
+    Picklable plain-dict state, so per-partition fetches really run
+    inside Ray read tasks."""
+
+    def __init__(self, log):
+        self.log = {int(k): list(v) for k, v in log.items()}
+
+    def partitions(self, topic):
+        return sorted(self.log)
+
+    def end_offset(self, topic, partition):
+        return len(self.log[partition])
+
+    def fetch(self, topic, partition, start, end):
+        return self.log[partition][start:end]

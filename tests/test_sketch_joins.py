@@ -32,6 +32,16 @@ def test_approx_distinct_on_dataset():
     assert abs(est - true) / true < 0.1
 
 
+def test_approx_distinct_tree_reduce_invariant():
+    """VERDICT r4 item 2: the two-level tree reduce must give the exact
+    same register max (and hence the identical estimate) for any reduce
+    shape — HLL merge is commutative/associative/idempotent."""
+    ev = rd.read_parquet("/root/testdata/sf0.001/events.parquet").repartition(16)
+    base = approx_distinct(ev, "user_id")
+    narrow = approx_distinct(ev, "user_id", reduce_width=2, merge_batch=3)
+    assert base == narrow
+
+
 @pytest.fixture()
 def orders_ds():
     return rd.read_parquet(

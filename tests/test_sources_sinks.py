@@ -165,3 +165,19 @@ def test_read_parquet_clean_mixed_list(tmp_path):
     for b in ds2.iter_batches(batch_format="pyarrow", batch_size=None):
         assert not b.schema.metadata
         assert "path" in b.schema.names
+
+
+def test_compat_shim_degrades_cleanly_on_import_failure(monkeypatch):
+    """VERDICT r4 item 8: a Ray upgrade that moves the private
+    pandas_block module must degrade the shim to a logged no-op, never an
+    import error."""
+    import sys
+
+    import log_formatter_ray._compat as compat
+
+    monkeypatch.setattr(compat, "_patched", False)
+    monkeypatch.setitem(
+        sys.modules, "ray.data._internal.pandas_block", None
+    )  # forces ImportError inside install()
+    compat.install()  # must not raise
+    assert compat._patched  # and must not retry forever

@@ -163,3 +163,105 @@ def test_plan_builder_run_streaming_config_surface(tmp_path):
     assert sorted(t2["doc_id"].to_pylist()) == [1, 2, 3, 4]
     deltas = [d for d in os.listdir(out) if d.startswith("delta=")]
     assert len(deltas) == 2
+
+
+# --- Kafka connector (mocked consumer; the sandbox has no broker) ----------
+
+from log_formatter_ray.testing import MockKafkaClient  # worker-importable
+
+
+def test_kafka_connector_json_decode_and_delta_polls():
+    import functools
+
+    from log_formatter_ray.sources.streaming import KafkaConnector
+
+    log = {0: [b'{"doc_id": 1, "v": 10}', b'{"doc_id": 2, "v": 20}'],
+           1: [b'{"doc_id": 3, "v": 30}']}
+    c = KafkaConnector(
+        "t", schema="json", workers=2,
+        client_factory=functools.partial(MockKafkaClient, log),
+    )
+    ds, off = c.poll(None)
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df["doc_id"].tolist() == [1, 2, 3]
+    assert df["v"].tolist() == [10, 20, 30]
+    assert off == {"0": 2, "1": 1}
+    # caught up → None, offsets unchanged
+    none, off2 = c.poll(off)
+    assert none is None and off2 == off
+    # new messages on one partition → only the delta
+    log[1].append(b'{"doc_id": 4, "v": 40}')
+    ds3, off3 = c.poll(off)
+    assert ds3.to_pandas()["doc_id"].tolist() == [4]
+    assert off3 == {"0": 2, "1": 2}
+    # REPLAYING the old offset re-delivers (at-least-once seek semantics)
+    replay, _ = c.poll(off)
+    assert replay.to_pandas()["doc_id"].tolist() == [4]
+
+
+def test_kafka_connector_raw_decode_and_max_records():
+    import functools
+
+    from log_formatter_ray.sources.streaming import KafkaConnector
+
+    log = {0: [b"alpha", b"beta", b"gamma"]}
+    c = KafkaConnector(
+        "t", schema="raw", max_records=2,
+        client_factory=functools.partial(MockKafkaClient, log),
+    )
+    ds, off = c.poll(None)
+    assert ds.to_pandas()["message"].tolist() == ["alpha", "beta"]
+    assert off == {"0": 2}  # bounded by max_records, not the watermark
+    ds2, off2 = c.poll(off)
+    assert ds2.to_pandas()["message"].tolist() == ["gamma"]
+    assert off2 == {"0": 3}
+
+
+def test_kafka_connector_crash_replay_through_pump(tmp_path):
+    """The reference's commit-after-enqueue discipline end-to-end: a
+    handler crash before commit leaves the offset untouched, and the
+    restarted pump re-delivers the same messages (kafka.go:182-186)."""
+    import functools
+
+    from log_formatter_ray.sources.streaming import KafkaConnector
+
+    log = {0: [b'{"doc_id": 1}', b'{"doc_id": 2}']}
+    factory = functools.partial(MockKafkaClient, log)
+    offset_path = str(tmp_path / "offset.json")
+
+    def boom(ds):
+        raise RuntimeError("crash before commit")
+
+    with pytest.raises(RuntimeError):
+        run_stream(
+            KafkaConnector("t", client_factory=factory), boom, offset_path,
+            interval_s=0, max_polls=1,
+        )
+    assert load_offset(offset_path) is None  # nothing committed
+
+    seen = []
+    run_stream(
+        KafkaConnector("t", client_factory=factory),
+        lambda ds: seen.extend(ds.to_pandas()["doc_id"].tolist()),
+        offset_path, interval_s=0, max_polls=1,
+    )
+    assert sorted(seen) == [1, 2]  # the crashed delta replayed in full
+    assert load_offset(offset_path) == {"0": 2}
+
+
+def test_kafka_connector_registered_and_config_built():
+    import functools
+
+    from log_formatter_ray.sources.streaming import KafkaConnector
+
+    assert "kafka" in CONNECTORS
+    conn = build_connector(
+        {"kafka": {"topic": "t", "schema": "raw", "worker": 4,
+                   "client_factory": functools.partial(
+                       MockKafkaClient, {0: [b"x"]})}}
+    )
+    assert isinstance(conn, KafkaConnector) and conn.workers == 4
+    ds, off = conn.poll(None)
+    assert ds.to_pandas()["message"].tolist() == ["x"] and off == {"0": 1}
+    with pytest.raises(ValueError):
+        KafkaConnector("t", schema="avro")

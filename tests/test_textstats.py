@@ -48,6 +48,29 @@ def test_md5_fingerprint_matches_duckdb(docs):
     assert got == exp
 
 
+def test_md5_fingerprint_hashlib_fallback_matches(docs, monkeypatch):
+    """The import-guarded hashlib buffer-slice fallback (duckdb absent)
+    must produce identical fingerprints, including nulls and slices."""
+    import sys
+
+    import pyarrow as pa
+
+    import log_formatter_ray.ops.textstats as ts
+
+    base = add_fingerprint_md5(docs)["fp"].to_pylist()
+    monkeypatch.setitem(sys.modules, "duckdb", None)  # import → ImportError
+    got = ts.add_fingerprint_md5(docs)["fp"].to_pylist()
+    assert got == base
+    withnull = pa.table({"text": pa.array(["a", None, "b"])})
+    assert ts.add_fingerprint_md5(withnull)["fp"].to_pylist() == [
+        "0cc175b9c0f1b6a831c399e269772661",
+        None,
+        "92eb5ffee6ae2fec3ad71c777531578f",
+    ]
+    sl = ts.add_fingerprint_md5(withnull.slice(1, 2))["fp"].to_pylist()
+    assert sl == [None, "92eb5ffee6ae2fec3ad71c777531578f"]
+
+
 def test_quality_stats(docs):
     out = add_quality_stats(docs.slice(0, 50))
     df = out.to_pandas()

@@ -20,6 +20,26 @@ def test_waves_identical_to_single_pass(corpus_dir, tmp_path):
     assert a.select(cols).equals(b.select(cols))
 
 
+def test_partial_reduce_spill_path_identical(corpus_dir, tmp_path, monkeypatch):
+    """VERDICT r4: above PARTIAL_REDUCE_LIMIT the per-wave partial reduce
+    runs as a distributed Ray groupby — forcing the spill path must give
+    byte-identical counts and manifests to the driver-pandas path."""
+    import log_formatter_ray.pipelines.flagship as fl
+
+    ref = run_flagship(corpus_dir, str(tmp_path / "ref"))
+    monkeypatch.setattr(fl, "PARTIAL_REDUCE_LIMIT", 0)
+    spilled = run_flagship(corpus_dir, str(tmp_path / "spill"))
+    assert spilled.counts.equals(ref.counts)
+    ms_ref = load_manifests(str(tmp_path / "ref"))
+    ms_sp = load_manifests(str(tmp_path / "spill"))
+    assert {p: m.sink_source_counts for p, m in ms_ref.items()} == {
+        p: m.sink_source_counts for p, m in ms_sp.items()
+    }
+    assert {p: m.rows_in for p, m in ms_ref.items()} == {
+        p: m.rows_in for p, m in ms_sp.items()
+    }
+
+
 def test_per_wave_metrics_and_hot_reload(corpus_dir, tmp_path):
     """_metrics.json refreshes after EVERY wave (heartbeat analog,
     manager.go:166-225) and reload_config swaps the routing rules at a
