@@ -49,11 +49,21 @@ def _csv_sink(ds, cfg: dict):
     return cfg["path"]
 
 
+def _elasticsearch_sink(ds, cfg: dict):
+    """HTTP ``_bulk`` client sink (elasticsearch.go:39-166): NDJSON bulk
+    batches of max(100, batchsize) docs, ``{{field}}`` dynamic index,
+    POSTs running inside Ray workers.  See ``sinks.elasticsearch``."""
+    from log_formatter_ray.sinks.elasticsearch import elasticsearch_sink
+
+    return elasticsearch_sink(ds, cfg)
+
+
 SINKS: dict[str, Callable] = {
     "parquet": _parquet_sink,
     "console": _console_sink,
     "csv": _csv_sink,
     "file": _csv_sink,  # reference naming alias (output-file-test.yml)
+    "elasticsearch": _elasticsearch_sink,
 }
 
 

@@ -52,3 +52,23 @@ class MockKafkaClient:
 
     def fetch(self, topic, partition, start, end):
         return self.log[partition][start:end]
+
+
+class FileCaptureTransport:
+    """Test double for the ES sink's transport protocol: each ``bulk``
+    body is written to a uniquely-named file under ``dir`` (the bulk
+    POSTs run inside Ray workers, so plain in-memory capture would be
+    invisible to the driver).  Returns an empty-ok response."""
+
+    def __init__(self, dir):
+        self.dir = dir
+
+    def bulk(self, body: bytes) -> dict:
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"bulk_{uuid.uuid4().hex}.ndjson")
+        with open(path, "wb") as f:
+            f.write(body)
+        return {"errors": False, "items": []}

@@ -181,3 +181,63 @@ def test_compat_shim_degrades_cleanly_on_import_failure(monkeypatch):
     )  # forces ImportError inside install()
     compat.install()  # must not raise
     assert compat._patched  # and must not retry forever
+
+
+def test_elasticsearch_bulk_sink_dynamic_index_and_batching(tmp_path):
+    """The ES client sink (elasticsearch.go:39-166): NDJSON create-action
+    bulk bodies, {{field}} dynamic index per doc, chunks of
+    max(100, batchsize) docs, POSTs running inside Ray workers."""
+    import functools
+
+    import ray.data as rd
+
+    from log_formatter_ray.testing import FileCaptureTransport
+
+    cap = str(tmp_path / "bulks")
+    rows = [{"level": "info" if i % 2 == 0 else "error", "n": i}
+            for i in range(250)]
+    ds = rd.from_items(rows).repartition(1)
+    out = write_sink(ds, {
+        "elasticsearch": {
+            "index": "logs-{{level}}",
+            "batchsize": 7,  # floors to the reference's min of 100
+            "transport_factory": functools.partial(FileCaptureTransport, cap),
+        }
+    })
+    assert out["n_docs"] == 250 and out["errors"] == 0
+    assert out["requests"] == 3  # 250 docs / max(100, 7) → 100+100+50
+
+    import glob
+
+    lines = []
+    for f in sorted(glob.glob(cap + "/bulk_*.ndjson")):
+        body = open(f, "rb").read().decode()
+        assert body.endswith("\n")
+        lines += body.splitlines()
+    assert len(lines) == 500  # action + doc per row
+    actions = [json.loads(l) for l in lines[0::2]]
+    docs = [json.loads(l) for l in lines[1::2]]
+    for a, d in zip(actions, docs):
+        want = "logs-error" if d["n"] % 2 else "logs-info"
+        assert a == {"create": {"_index": want}}
+    assert sorted(d["n"] for d in docs) == list(range(250))
+
+
+def test_elasticsearch_sink_actor_pool_and_registry(tmp_path):
+    import functools
+
+    import ray.data as rd
+
+    from log_formatter_ray.testing import FileCaptureTransport
+
+    assert "elasticsearch" in SINKS
+    cap = str(tmp_path / "bulks")
+    ds = rd.from_items([{"k": "a"}, {"k": "b"}]).repartition(2)
+    out = write_sink(ds, {
+        "elasticsearch": {
+            "index": "fixed",
+            "concurrency": 2,  # one client per actor
+            "transport_factory": functools.partial(FileCaptureTransport, cap),
+        }
+    })
+    assert out == {"n_docs": 2, "errors": 0, "requests": 2}
