@@ -1598,6 +1598,50 @@ FROM grams GROUP BY doc_id
 """
 
 
+def q_dup_line_documents(sf_dir: str):
+    """Gopher duplicate-LINE repetition signals (fraction of duplicate
+    lines / of characters in duplicate lines — Rae et al. 2021 §A1.1),
+    word-level (``sep=" "``) on this single-line corpus: one vectorized
+    pass, no shuffle, integer counts so the oracle compares exactly.
+    Oracle-backed but deliberately gate-invisible (the 50-slot window is
+    full of unique SQLs; ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.ops.textstats import dup_line_stats
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: dup_line_stats(b, sep=" "),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+_SQL_DUP_LINE_DOCUMENTS = """
+WITH l AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS line FROM documents
+), per AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_lines,
+       CAST(SUM(p.c - 1) AS BIGINT) AS n_dup_lines,
+       CAST(SUM((p.c - 1) * p.len) AS BIGINT) AS dup_line_chars,
+       CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d JOIN per p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id, d.text
+"""
+
+
+def q_unigram_ppl_documents(sf_dir: str):
+    """Unigram-LM quality scoring (the CCNet perplexity-filter shape):
+    distributed term counts → broadcast smoothed model → actor-pool
+    scorer adding per-doc mean log₂-prob and perplexity.  Rows-only by
+    design: the scores are float aggregates of a corpus-derived model."""
+    from log_formatter_ray.ops.lm import score_corpus_unigram
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_corpus_unigram(ds, max_vocab=50_000, concurrency=(1, 8))
+
+
 def q_percentile_filter_documents(sf_dir: str):
     """Global percentile filter (two-pass, the at-scale plan): pass 1
     collapses the corpus to (value, count) partials and reads the exact
@@ -1899,9 +1943,11 @@ QUERIES = {
     "topk_users": q_topk_users,
     "ivf_ann_top10": q_ivf_ann_top10,
     "pack_sequences_global": q_pack_sequences_global,
-    # --- oracle-backed, unique SQL, deliberately gate-invisible (51
-    # unique SQLs for 50 slots; see the layout comment above) ---
+    # --- oracle-backed, unique SQL, deliberately gate-invisible (more
+    # unique SQLs than the 50 slots hold; see the layout comment above;
+    # tools/check_oracle.py verifies them all) ---
     "sort_limit_documents": q_sort_limit_documents,
+    "dup_line_documents": q_dup_line_documents,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,
@@ -1922,6 +1968,7 @@ QUERIES = {
     "media_audio_near_dups": q_media_audio_near_dups,
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
+    "unigram_ppl_documents": q_unigram_ppl_documents,
 }
 
 ORACLE_SQL = {
@@ -1971,6 +2018,7 @@ ORACLE_SQL = {
     "explode_words": _SQL_EXPLODE_WORDS,
     "redact_documents": _SQL_REDACT_DOCUMENTS,
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
+    "dup_line_documents": _SQL_DUP_LINE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
     "clean_corpus_pipeline": _SQL_CLEAN_CORPUS_PIPELINE,

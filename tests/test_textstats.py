@@ -395,3 +395,76 @@ def test_build_doc_freq_capped_bounded_and_consistent():
                    "text": pa.array(["junkonly wordsx", "alpha beta"])})
     out2 = top_distinctive_term(t2, v_cap, df_cap).to_pandas()
     assert out2["doc_id"].tolist() == [1]
+
+
+def test_dup_line_stats_python_oracle():
+    """Duplicate-line counts vs a per-row pure-Python oracle, including
+    multi-line docs, all-unique docs, empty and null text."""
+    import pyarrow as pa
+
+    from log_formatter_ray.ops.textstats import dup_line_stats
+
+    texts = [
+        "a\nb\na\nc\nb\na",   # a×3, b×2 → 3 dup lines; chars 1+1+1
+        "x\ny\nz",             # no dups
+        "",                    # one empty line
+        None,                  # null → ""
+        "dup\ndup",            # 1 dup, 3 chars
+        "one",                 # single line
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = dup_line_stats(t).to_pandas().set_index("doc_id")
+
+    for i, s in enumerate(texts):
+        s = s or ""
+        lines = s.split("\n")
+        seen: dict = {}
+        dl = dc = 0
+        for ln in lines:
+            if ln in seen:
+                dl += 1
+                dc += len(ln)
+            seen[ln] = True
+        r = out.loc[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_dup_lines"] == dl, (i, s)
+        assert r["dup_line_chars"] == dc
+        assert r["n_chars"] == len(s)
+
+    # sliced batch must agree with the full batch (flatten/offset contract)
+    sl = dup_line_stats(t.slice(2, 3)).to_pandas().set_index("doc_id")
+    assert sl.equals(out.iloc[2:5])
+
+
+def test_dup_line_stats_matches_duckdb_word_level(docs):
+    """Word-level (sep=' ') duplicate-line stats vs an exact DuckDB
+    oracle over the real documents table."""
+    import duckdb
+
+    from log_formatter_ray.ops.textstats import dup_line_stats
+
+    got = (
+        dup_line_stats(docs, sep=" ").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    exp = duckdb.sql(f"""
+        WITH l AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS line
+          FROM '{DOCS}'
+        ), per AS (
+          SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+          FROM l GROUP BY doc_id, line
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_lines,
+               CAST(SUM(p.c - 1) AS BIGINT) AS n_dup_lines,
+               CAST(SUM((p.c - 1) * p.len) AS BIGINT) AS dup_line_chars,
+               CAST(length(d.text) AS BIGINT) AS n_chars
+        FROM '{DOCS}' d JOIN per p ON d.doc_id = p.doc_id
+        GROUP BY d.doc_id, d.text ORDER BY d.doc_id
+    """).df()
+    assert got["n_lines"].tolist() == exp["n_lines"].tolist()
+    assert got["n_dup_lines"].tolist() == exp["n_dup_lines"].tolist()
+    assert got["dup_line_chars"].tolist() == exp["dup_line_chars"].tolist()
+    assert got["n_chars"].tolist() == exp["n_chars"].tolist()
