@@ -220,3 +220,83 @@ def sample_mixture(ds, weights: dict[str, float], source_col: str = "source",
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None,
                           zero_copy_batch=True)
+
+
+def stratified_sample(ds, key_col: str, k: int, id_col: str = "doc_id",
+                      columns: list[str] | None = None):
+    """EXACT-``k`` deterministic sample per stratum (quota sampling — the
+    companion to :func:`sample_mixture`'s ≈exact hash-threshold rates):
+    each ``key_col`` group keeps its ``k`` rows with the smallest
+    ``md5(id)`` (ties by id).
+
+    md5 of the ID string is the selection order precisely because it is
+    ENGINE-NEUTRAL: any SQL system reproduces the exact same sample with
+    ``row_number() OVER (PARTITION BY key ORDER BY md5(id), id) <= k`` —
+    the DuckDB oracle compares hash-exact.  Selection is independent of
+    shard layout and parallelism (pure function of the row), and
+    deterministic across epochs.
+
+    Plan (the repo's coarse-keyed discipline): a vectorized md5 rank
+    column inside ``map_batches`` (the duckdb-backed kernel from
+    ``textstats.add_fingerprint_md5``), a per-block PRE-TOP-K (each block
+    keeps at most ``k`` rows per key it sees — the partial-aggregation
+    combiner, so a hot stratum ships ≤ k×blocks rows, never its row
+    count), then ONE hash(key)-coarse-partition groupby whose partitions
+    run a vectorized per-key top-k (lexsort + run boundaries — many keys
+    per ``map_groups`` call, never one group per stratum).  Only
+    ``columns`` (+ key/id/rank) travel through the shuffle — pass a
+    narrow projection for wide corpora.
+    """
+    import pyarrow.compute as pc
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+    from log_formatter_ray.ops.textstats import add_fingerprint_md5
+
+    keep = list(dict.fromkeys(
+        [key_col, id_col] + (columns or [c for c in ds.schema().names])
+    ))
+    coarse = 256
+
+    def per_key_topk(t: pa.Table) -> pa.Table:
+        """Keep ≤ k smallest (_rank, id) rows per key_col value — used as
+        both the per-block combiner and the per-partition finisher."""
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), ("_rank", "ascending"),
+                          (id_col, "ascending")]
+        )
+        t = t.take(idx)
+        keys = t[key_col].combine_chunks()
+        same = np.zeros(len(t), dtype=bool)
+        if len(t) > 1:
+            same[1:] = np.asarray(
+                pc.equal(keys.slice(1), keys.slice(0, len(t) - 1))
+            )
+        # rank within key run: position − run start
+        run_start = np.maximum.accumulate(
+            np.where(~same, np.arange(len(t)), 0)
+        )
+        within = np.arange(len(t)) - run_start
+        return t.filter(pa.array(within < k))
+
+    def rank_and_combine(batch: pa.Table) -> pa.Table:
+        batch = batch.select([c for c in keep if c in batch.column_names])
+        ids = pc.cast(batch[id_col], pa.string())
+        tmp = add_fingerprint_md5(pa.table({"text": ids}), out_col="_rank")
+        batch = batch.append_column("_rank", tmp["_rank"])
+        batch = per_key_topk(batch)
+        kb = pc.cast(batch[key_col], pa.string()).combine_chunks()
+        return batch.append_column(
+            PART_COL,
+            pa.array(hash_part(kb.to_numpy(zero_copy_only=False), coarse)),
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        return per_key_topk(group).drop_columns(["_rank", PART_COL])
+
+    partials = ds.map_batches(
+        rank_and_combine, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return partials.groupby(PART_COL).map_groups(
+        finish, batch_format="pyarrow"
+    )

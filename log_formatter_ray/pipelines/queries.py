@@ -1631,6 +1631,29 @@ GROUP BY d.doc_id, d.text
 """
 
 
+def q_stratified_sample_documents(sf_dir: str):
+    """Exact-20-per-lang quota sample: per-block pre-top-k combiner, one
+    coarse keyed shuffle of the survivors, selection = smallest md5(id)
+    per stratum — engine-neutral, so the DuckDB window-function oracle
+    reproduces the identical rows (hash-exact).  Oracle-backed but
+    gate-invisible (window full; verified by tools/check_oracle.py)."""
+    from log_formatter_ray.ops.sample import stratified_sample
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, "lang", k=20)
+
+
+_SQL_STRATIFIED_SAMPLE_DOCUMENTS = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+  FROM documents
+) WHERE r <= 20
+"""
+
+
 def q_unigram_ppl_documents(sf_dir: str):
     """Unigram-LM quality scoring (the CCNet perplexity-filter shape):
     distributed term counts → broadcast smoothed model → actor-pool
@@ -1948,6 +1971,7 @@ QUERIES = {
     # tools/check_oracle.py verifies them all) ---
     "sort_limit_documents": q_sort_limit_documents,
     "dup_line_documents": q_dup_line_documents,
+    "stratified_sample_documents": q_stratified_sample_documents,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,
@@ -2019,6 +2043,7 @@ ORACLE_SQL = {
     "redact_documents": _SQL_REDACT_DOCUMENTS,
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
     "dup_line_documents": _SQL_DUP_LINE_DOCUMENTS,
+    "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
     "clean_corpus_pipeline": _SQL_CLEAN_CORPUS_PIPELINE,

@@ -139,3 +139,57 @@ def test_sample_mixture_deterministic_and_proportional(ray_session):
         rd.from_arrow(t), {"web": 1.0}
     ).to_pandas()
     assert set(c["source"]) == {"web"} and len(c) == 18000
+
+
+def test_stratified_sample_matches_md5_oracle_and_is_layout_invariant():
+    """Exact-k per-stratum sampling: selection = k smallest md5(id) per
+    key — engine-neutral, so DuckDB's window-function form reproduces the
+    identical row set; and a pure function of the row, so shard layout /
+    parallelism cannot change it."""
+    import duckdb
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from log_formatter_ray.ops.sample import stratified_sample
+
+    n = 500
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:04d}" for i in range(n)], pa.string()),
+        "lang": pa.array([["en", "de", "fr", "hot"][min(i % 10, 3)]
+                          for i in range(n)], pa.string()),
+        "v": pa.array(range(n), pa.int64()),
+    })
+    exp = duckdb.sql("""
+        SELECT doc_id, lang, v FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY md5(doc_id), doc_id) AS r FROM t
+        ) WHERE r <= 7 ORDER BY doc_id
+    """).df()
+
+    for parts in (1, 5):
+        got = (
+            stratified_sample(rd.from_arrow(t).repartition(parts),
+                              "lang", k=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist(), parts
+        assert got["v"].tolist() == exp["v"].tolist()
+    assert (got.groupby("lang").size() == 7).all()
+
+    # k larger than a stratum keeps the whole stratum, exactly once
+    tiny = pa.table({
+        "doc_id": pa.array(["a", "b", "c"], pa.string()),
+        "lang": pa.array(["x", "x", "y"], pa.string()),
+    })
+    all_rows = (
+        stratified_sample(rd.from_arrow(tiny).repartition(2), "lang", k=10)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert all_rows["doc_id"].tolist() == ["a", "b", "c"]
+
+    # column projection travels through the shuffle
+    slim = stratified_sample(
+        rd.from_arrow(t).repartition(3), "lang", k=2, columns=["lang"]
+    ).to_pandas()
+    assert set(slim.columns) == {"lang", "doc_id"}
