@@ -660,6 +660,163 @@ def dedup_by_clusters(
     )
 
 
+def elect_cluster_reps(
+    clusters,
+    scores,
+    score_col: str,
+    scores_id_col: str = "doc_id",
+    coarse: int = 256,
+    broadcast_limit: int = 5_000_000,
+):
+    """Re-elect each near-dup cluster's representative by QUALITY instead
+    of min-id: the member with the highest ``score_col`` (ties → smallest
+    id) becomes ``rep``.  The standard curation refinement (keep the
+    longest / highest-quality duplicate, drop the rest): feed the result
+    straight to :func:`dedup_by_clusters`.
+
+    ``clusters`` is a (id, rep) Dataset (``minhash_lsh_clusters`` /
+    ``connected_components`` output — only docs in clusters ≥ 2, i.e.
+    sparse relative to the corpus); ``scores`` is any (id, score) Dataset
+    — typically a narrow 2-column re-read of the corpus through a quality
+    op.  Plan, all cluster-sized after pass A:
+
+    A. restrict ``scores`` to cluster members (broadcast filter below
+       ``broadcast_limit`` members, hash-partitioned semi-join above);
+    B. co-partition members + scores on hash(id) and attach each
+       member's score (one union shuffle, vectorized pandas merge per
+       partition);
+    C. coarse-partition on hash(rep) and elect per-cluster argmax via
+       one lexsort + run boundaries (many clusters per ``map_groups``
+       call — never one call per cluster).
+
+    Members missing from ``scores`` rank below every scored member
+    (score −inf), ties still by id.  Output: (id, rep) with the same
+    rows as ``clusters`` and the re-elected rep.
+    """
+    import ray.data as rd  # noqa: F401 - parity with sibling plans
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+
+    members = clusters.materialize()
+    n_members = members.count()
+    if n_members == 0:
+        return clusters
+    member_ids = members.map_batches(
+        lambda t: t.select(["id"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).materialize()
+    member_scores = _candidate_filter(
+        scores.map_batches(
+            lambda t: pa.table(
+                {"id": t[scores_id_col].combine_chunks(),
+                 "_score": pc.cast(t[score_col].combine_chunks(),
+                                   pa.float64())}
+            ),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
+        member_ids, "id", n_members, broadcast_limit, coarse=coarse,
+    )
+
+    id_type = dict(zip(members.schema().names, members.schema().types))["id"]
+
+    def tag_members(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks()
+        return pa.table({
+            "id": ids,
+            "rep": batch["rep"].combine_chunks(),
+            "_score": pa.nulls(len(batch), pa.float64()),
+            "_slot": pa.array(np.zeros(len(batch), np.int8)),
+            PART_COL: pa.array(
+                hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+            ),
+        })
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].combine_chunks().cast(id_type)
+        return pa.table({
+            "id": ids,
+            "rep": pa.nulls(len(batch), id_type),
+            "_score": batch["_score"].combine_chunks(),
+            "_slot": pa.array(np.ones(len(batch), np.int8)),
+            PART_COL: pa.array(
+                hash_part(ids.to_numpy(zero_copy_only=False), coarse)
+            ),
+        })
+
+    unioned = members.map_batches(
+        tag_members, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).union(member_scores.map_batches(
+        tag_scores, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ))
+
+    def attach(group: pa.Table) -> pa.Table:
+        # pyarrow + searchsorted, NOT pandas: a score-only partition would
+        # null-upcast the int rep column to float64 through to_pandas and
+        # corrupt the output schema
+        slot = group["_slot"]
+        mem = group.filter(pc.equal(slot, 0))
+        sc = group.filter(pc.equal(slot, 1))
+        score = np.full(len(mem), -np.inf, np.float64)
+        if len(mem) and len(sc):
+            m_ids = mem["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            s_ids = sc["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            s_sc = sc["_score"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            )
+            order = np.argsort(s_ids, kind="stable")
+            s_ids, s_sc = s_ids[order], s_sc[order]
+            pos = np.searchsorted(s_ids, m_ids)
+            pos_c = np.minimum(pos, len(s_ids) - 1)
+            hit = s_ids[pos_c] == m_ids
+            score[hit] = s_sc[pos_c[hit]]
+        return pa.table({
+            "id": mem["id"].combine_chunks(),
+            "rep": mem["rep"].combine_chunks(),
+            "_score": pa.array(score),
+        })
+
+    scored = unioned.groupby(PART_COL).map_groups(
+        attach, batch_format="pyarrow"
+    )
+
+    def add_rep_part(batch: pa.Table) -> pa.Table:
+        reps = batch["rep"].combine_chunks()
+        return batch.append_column(PART_COL, pa.array(
+            hash_part(reps.to_numpy(zero_copy_only=False), coarse)
+        ))
+
+    def elect(group: pa.Table) -> pa.Table:
+        # argmax score per rep (ties → smallest id), pyarrow-sorted so the
+        # id/rep types pass through untouched
+        idx = pc.sort_indices(group, sort_keys=[
+            ("rep", "ascending"), ("_score", "descending"),
+            ("id", "ascending"),
+        ])
+        g = group.take(idx)
+        reps = g["rep"].combine_chunks()
+        ids = g["id"].combine_chunks()
+        first = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            first[1:] = ~np.asarray(
+                pc.equal(reps.slice(1), reps.slice(0, len(g) - 1))
+            )
+        # winner index of each row's run = most recent run start
+        run_start = np.maximum.accumulate(
+            np.where(first, np.arange(len(g)), 0)
+        )
+        return pa.table({
+            "id": ids,
+            "rep": ids.take(pa.array(run_start)),
+        })
+
+    return scored.map_batches(
+        add_rep_part, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).groupby(PART_COL).map_groups(elect, batch_format="pyarrow")
+
+
 def partitioned_anti_join(ds, drop_ds, id_col: str = "doc_id",
                           drop_id_col: str = "id", coarse: int = 256):
     """Corpus rows whose ``id_col`` is NOT in ``drop_ds[drop_id_col]`` —

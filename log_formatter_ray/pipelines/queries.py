@@ -563,6 +563,31 @@ def q_jaccard_near_dups(sf_dir: str):
     return verify_pairs_jaccard(ds, cands, threshold=0.8).select_columns(["a", "b"])
 
 
+def q_dedup_best_documents(sf_dir: str):
+    """Quality-aware near-dedup: MinHash-LSH clusters → re-elect each
+    cluster's representative by highest ``n_chars`` (keep the LONGEST
+    duplicate — the standard curation refinement over min-id) → drop the
+    rest.  LSH-defined membership → rows-only; the election itself is
+    pinned exactly in tests/test_dedup.py."""
+    from log_formatter_ray.ops.dedup import (
+        dedup_by_clusters,
+        elect_cluster_reps,
+        minhash_lsh_clusters,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    clusters = minhash_lsh_clusters(
+        ds, threshold=0.6, coarse=_adaptive_coarse(sf_dir, hi=1024)
+    ).materialize()
+    scores = _tbl(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    best = elect_cluster_reps(clusters, scores, score_col="n_chars")
+    return (
+        dedup_by_clusters(ds, best)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
 def q_dedup_near_documents(sf_dir: str):
     """The resumable near-dedup JOB end to end (cluster checkpoint +
     manifest-gated filtered rewrite) over a sharded copy of the documents
@@ -1993,6 +2018,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "mixture_sample_documents": q_mixture_sample_documents,
     "unigram_ppl_documents": q_unigram_ppl_documents,
+    "dedup_best_documents": q_dedup_best_documents,
 }
 
 ORACLE_SQL = {

@@ -487,3 +487,58 @@ def test_embedding_dup_light_shuffle_matches_default():
         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(base, forced)
+
+
+def test_elect_cluster_reps_quality_argmax():
+    """Quality re-election: each cluster's rep becomes its argmax-score
+    member (ties → min id; unscored members rank last), so
+    dedup_by_clusters then keeps the BEST duplicate instead of the
+    min-id one."""
+    from log_formatter_ray.ops.dedup import dedup_by_clusters, elect_cluster_reps
+
+    clusters = pa.table({
+        "id": pa.array([1, 2, 3, 10, 11, 20, 21], pa.int64()),
+        "rep": pa.array([1, 1, 1, 10, 10, 20, 20], pa.int64()),
+    })
+    # cluster 1: argmax is 3; cluster 10: tie 0.5 → min id 10;
+    # cluster 20: 21 unscored → 20 wins despite low score
+    scores = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 20], pa.int64()),
+        "q": pa.array([0.1, 0.5, 0.9, 0.5, 0.5, 0.01], pa.float64()),
+    })
+    for parts in (1, 4):
+        got = (
+            elect_cluster_reps(
+                rd.from_arrow(clusters).repartition(parts),
+                rd.from_arrow(scores).repartition(parts),
+                score_col="q",
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got["id"].tolist() == [1, 2, 3, 10, 11, 20, 21]
+        assert got["rep"].tolist() == [3, 3, 3, 10, 10, 20, 20], parts
+
+    # forced-partitioned pass-A filter must elect identically
+    forced = (
+        elect_cluster_reps(
+            rd.from_arrow(clusters).repartition(2),
+            rd.from_arrow(scores).repartition(2),
+            score_col="q", broadcast_limit=0,
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert forced["rep"].tolist() == [3, 3, 3, 10, 10, 20, 20]
+
+    # end-to-end: dedup keeps exactly the elected reps + unclustered rows
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3, 10, 11, 20, 21, 99], pa.int64()),
+        "text": pa.array([f"t{i}" for i in [1, 2, 3, 10, 11, 20, 21, 99]]),
+    })
+    new_map = elect_cluster_reps(
+        rd.from_arrow(clusters), rd.from_arrow(scores), score_col="q"
+    )
+    kept = (
+        dedup_by_clusters(rd.from_arrow(corpus), new_map)
+        .to_pandas()["doc_id"].sort_values().tolist()
+    )
+    assert kept == [3, 10, 20, 99]
