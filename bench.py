@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "dedup_sequences_corpus",
     "heavy_hitters_users",
     "approx_quantiles_value",
+    # round-5 additions: Gopher dup-line stats, md5-ordered quota sample,
+    # unigram-LM perplexity scoring, keep-best near-dedup
+    "dup_line_documents",
+    "stratified_sample_documents",
+    "unigram_ppl_documents",
+    "dedup_best_documents",
 ]
 
 
