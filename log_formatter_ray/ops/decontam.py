@@ -146,3 +146,105 @@ def decontaminate(ds, bench_hashes, text_col: str = "text", n: int = 3):
             ["contaminated"]),
         batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-level decontamination (the tokens-axis variant: pretokenized
+# corpora are decontaminated on token-id n-grams, no text round-trip)
+# ---------------------------------------------------------------------------
+
+def _token_ngram_hashes(tokens, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row token-id n-gram hashes for a ``list<int32>`` column.
+
+    Returns ``(hashes, row_offsets)`` in the :func:`_word_ngram_hashes`
+    layout.  Each window hash is a degree-(n−1) polynomial over golden-
+    ratio-mixed token values — n whole-array multiply-adds, no per-row or
+    per-window Python.  Exact n-gram identity up to 64-bit collisions
+    (≈|grams|²/2⁶⁵ false-positive odds — negligible and conservative for
+    contamination filtering), matching the word path's contract."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    g_counts = np.maximum(counts - (n - 1), 0)
+    row_off = np.concatenate([[0], np.cumsum(g_counts)])
+    total = int(offsets[-1])
+    if total < n:
+        return np.empty(0, dtype=np.uint64), row_off
+
+    flat = np.asarray(tokens.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.uint64)
+    f = (flat + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+    p = np.uint64(1099511628211)
+    acc = np.zeros(total - n + 1, dtype=np.uint64)
+    for k in range(n):
+        acc = acc * p + f[k : total - n + 1 + k]
+
+    # invalidate windows that cross a row boundary (same mask as the
+    # word-n-gram builder)
+    valid = np.ones(total - n + 1, dtype=bool)
+    bad = (offsets[1:][:, None] - np.arange(1, n)[None, :]).ravel()
+    bad = bad[(bad >= 0) & (bad < valid.size)]
+    valid[bad] = False
+    return acc[valid], row_off
+
+
+def benchmark_token_ngram_hashes(
+    bench_ds, tokens_col: str = "tokens", n: int = 8
+) -> np.ndarray:
+    """SORTED unique uint64 token-n-gram hashes of the eval set (small by
+    contract; per-block unique, bounded driver union — the
+    :func:`benchmark_ngram_hashes` plan on the tokens column)."""
+    def per_block(batch: pa.Table) -> pa.Table:
+        h, _ = _token_ngram_hashes(batch[tokens_col], n)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = bench_ds.map_batches(
+        per_block, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    df = parts.to_pandas()
+    if df.empty:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(df["h"].to_numpy().view(np.uint64))
+
+
+def flag_contaminated_tokens(ds, bench_hashes, tokens_col: str = "tokens",
+                             n: int = 8, out_col: str = "contaminated"):
+    """Append bool ``out_col``: does the row share ≥1 token n-gram with
+    the (broadcast) eval-set hash array?  Streaming, no shuffle — the
+    corpus's token payload never moves."""
+    ref = (bench_hashes if isinstance(bench_hashes, ray.ObjectRef)
+           else ray.put(np.sort(np.asarray(bench_hashes, dtype=np.uint64))))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        h, row_off = _token_ngram_hashes(batch[tokens_col], n)
+        hit = np.zeros(len(h), dtype=bool)
+        if h.size and bench.size:
+            pos = np.searchsorted(bench, h)
+            inb = pos < bench.size
+            hit[inb] = bench[pos[inb]] == h[inb]
+        per_row = np.zeros(batch.num_rows, dtype=np.int64)
+        nonempty = row_off[:-1] < row_off[1:]
+        if hit.size:
+            per_row[nonempty] = np.add.reduceat(
+                hit.astype(np.int64), row_off[:-1][nonempty]
+            )
+        return batch.append_column(out_col, pa.array(per_row > 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
+def decontaminate_tokens(ds, bench_hashes, tokens_col: str = "tokens",
+                         n: int = 8):
+    """Rows of ``ds`` sharing NO token n-gram with the eval set."""
+    flagged = flag_contaminated_tokens(ds, bench_hashes,
+                                       tokens_col=tokens_col, n=n)
+    return flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["contaminated"])).drop_columns(
+            ["contaminated"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )

@@ -1354,6 +1354,46 @@ def q_pack_sequences_global(sf_dir: str):
     )
 
 
+def q_decontaminate_sequences(sf_dir: str):
+    """Token-level eval-set decontamination over the pretokenized corpus
+    (the tokens-axis variant of ``decontaminate_documents``): eval set =
+    sequences with seq % 97 == 0, corpus subset = seq % 5 == 0 (both
+    deterministic doc_id functions so DuckDB reproduces the exact row
+    sets; the subsets keep the oracle's list-slice n-gram explode to a
+    few seconds).  A corpus row is dropped iff it shares ≥1 token 8-gram
+    with the eval set.  Token payloads never shuffle — eval grams
+    broadcast, the corpus streams through a searchsorted probe.
+    Oracle-backed (exact list-equality SQL), gate-invisible by window
+    size; 64-bit gram-hash collisions (≈10⁻⁶ per corpus) are the
+    documented false-positive contract."""
+    from log_formatter_ray.ops.decontam import (
+        benchmark_token_ngram_hashes,
+        decontaminate_tokens,
+    )
+
+    ds = _sequences_ds(sf_dir)
+
+    def seq_mod(batch: pa.Table, mod: int) -> pa.Table:
+        seq = pc.cast(
+            pc.utf8_slice_codeunits(batch["doc_id"].combine_chunks(),
+                                    start=-8),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(seq % mod == 0))
+
+    eval_ds = ds.map_batches(
+        lambda b: seq_mod(b, 97), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    corpus = ds.map_batches(
+        lambda b: seq_mod(b, 5), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    hashes = benchmark_token_ngram_hashes(eval_ds, n=8)
+    kept = decontaminate_tokens(corpus, hashes, n=8)
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
 def q_token_histogram_top(sf_dir: str):
     from log_formatter_ray.ops.tokens import token_histogram
 
@@ -1397,6 +1437,26 @@ FROM read_parquet('{seq_glob}')
 SELECT CAST(t AS BIGINT) AS token_id, CAST(COUNT(*) AS BIGINT) AS freq
 FROM (SELECT unnest(tokens) AS t FROM read_parquet('{seq_glob}'))
 GROUP BY t ORDER BY freq DESC, token_id LIMIT 10
+""",
+        "decontaminate_sequences": f"""
+WITH corpus AS (
+  SELECT doc_id, tokens FROM read_parquet('{seq_glob}')
+  WHERE CAST(right(doc_id, 8) AS BIGINT) % 5 = 0
+),
+eval AS (
+  SELECT tokens FROM read_parquet('{seq_glob}')
+  WHERE CAST(right(doc_id, 8) AS BIGINT) % 97 = 0
+),
+egrams AS (
+  SELECT DISTINCT tokens[i:i+7] AS gr
+  FROM eval, UNNEST(generate_series(1, len(tokens)-7)) AS t(i)
+),
+cgrams AS (
+  SELECT doc_id, tokens[i:i+7] AS gr
+  FROM corpus, UNNEST(generate_series(1, len(tokens)-7)) AS t(i)
+),
+bad AS (SELECT DISTINCT doc_id FROM cgrams WHERE gr IN (SELECT gr FROM egrams))
+SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """,
         # The flagship's parse → enrich → route semantics as one SQL
         # expression: grok-miss ⇒ quarantine; tier lookup (make_source_lookup:
@@ -1997,6 +2057,7 @@ QUERIES = {
     "sort_limit_documents": q_sort_limit_documents,
     "dup_line_documents": q_dup_line_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
+    "decontaminate_sequences": q_decontaminate_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

@@ -129,3 +129,63 @@ def test_redact_matches_duckdb():
         FROM documents
     """).fetchdf()
     assert got.equals(want)
+
+
+def test_token_ngram_hashes_window_semantics():
+    """Token n-gram windows: exact count per row, boundary windows never
+    cross rows, identical windows hash identically, sliced batches agree."""
+    import numpy as np
+
+    from log_formatter_ray.ops.decontam import _token_ngram_hashes
+
+    t = pa.array(
+        [[1, 2, 3, 4], [1, 2, 3], [5], [], [2, 3, 4, 1, 2, 3]],
+        pa.list_(pa.int32()),
+    )
+    h, off = _token_ngram_hashes(t, n=3)
+    assert np.diff(off).tolist() == [2, 1, 0, 0, 4]
+    # row0 window [2,3,4] == row4 window [2,3,4]; row0 [1,2,3] == row1's
+    assert h[1] == h[off[4]]
+    assert h[0] == h[2]
+    assert h[0] != h[1]
+    # slicing the ListArray must not change any hash (flatten contract)
+    h_sl, off_sl = _token_ngram_hashes(t.slice(1, 3), n=3)
+    assert h_sl.tolist() == h[2:3].tolist()
+    assert np.diff(off_sl).tolist() == [1, 0, 0]
+
+
+def test_decontaminate_tokens_drops_overlaps():
+    import numpy as np
+
+    import ray.data as rd
+
+    from log_formatter_ray.ops.decontam import (
+        benchmark_token_ngram_hashes,
+        decontaminate_tokens,
+        flag_contaminated_tokens,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    eval_rows = []
+    for i in range(50):
+        toks = rng.integers(0, 50_000, size=24).astype(np.int32).tolist()
+        rows.append({"doc_id": i, "tokens": toks})
+        if i % 10 == 0:
+            eval_rows.append({"doc_id": 1000 + i, "tokens": toks[5:15]})
+    # a clean eval row shares no 8-gram with the corpus
+    eval_rows.append(
+        {"doc_id": 2000,
+         "tokens": rng.integers(60_000, 70_000, size=12).astype(np.int32).tolist()}
+    )
+    corpus = rd.from_items(rows).repartition(3)
+    bench = rd.from_items(eval_rows).repartition(2)
+    hashes = benchmark_token_ngram_hashes(bench, n=8)
+    kept = decontaminate_tokens(corpus, hashes, n=8).to_pandas()
+    contaminated = {i for i in range(50) if i % 10 == 0}
+    assert set(kept["doc_id"]) == set(range(50)) - contaminated
+    flags = flag_contaminated_tokens(corpus, hashes, n=8).to_pandas()
+    assert set(flags.loc[flags["contaminated"], "doc_id"]) == contaminated
+    # short rows (< n tokens) are never contaminated
+    short = rd.from_items([{"doc_id": 99, "tokens": [1, 2, 3]}])
+    assert decontaminate_tokens(short, hashes, n=8).count() == 1
