@@ -102,6 +102,21 @@ def _split_word_hashes(text) -> tuple[np.ndarray, np.ndarray]:
     return _stable_hash64(words_np), new_offsets
 
 
+def _token_value_hashes(tokens) -> tuple[np.ndarray, np.ndarray]:
+    """Token-id "word" hashes for a ``list<int>`` column — the tokens-axis
+    analog of :func:`_split_word_hashes` (same ``(h, offsets)`` layout, so
+    :func:`_shingle_hashes` and :class:`MinHasher` compose unchanged).
+    Each token mixes through a golden-ratio multiply; ``flatten()`` keeps
+    sliced ListArrays correct."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    flat = np.asarray(tokens.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.uint64)
+    return (flat + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15), offsets
+
+
 def _shingle_hashes(
     h: np.ndarray, offsets: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -321,7 +336,15 @@ class MinHasher:
         # equals min over the set).  Per-row minima via reduceat over the
         # flat (num_perm, S) matrix, in row slices bounded by
         # MAX_SLICE_SHINGLES.
-        wh, w_off = _split_word_hashes(batch[self.text_col])
+        col = batch[self.text_col]
+        col_type = col.type if not isinstance(col, pa.ChunkedArray) \
+            else col.chunk(0).type if col.num_chunks else col.type
+        if pa.types.is_list(col_type) or pa.types.is_large_list(col_type):
+            # tokens-axis input: shingle over token ids directly (no text
+            # round-trip; the signature/LSH/CC plan downstream is shared)
+            wh, w_off = _token_value_hashes(col)
+        else:
+            wh, w_off = _split_word_hashes(col)
         h_all, offsets = _shingle_hashes(wh, w_off, k)
 
         sigs = np.zeros((n_rows, self.num_perm), dtype=np.uint64)

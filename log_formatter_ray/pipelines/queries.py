@@ -1394,6 +1394,56 @@ def q_decontaminate_sequences(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_minhash_clusters_sequences(sf_dir: str):
+    """Near-dup clustering of the PRETOKENIZED corpus — MinHash shingles
+    over token ids directly (no text round-trip; `MinHasher` detects the
+    list<int32> column), banded LSH, distributed CC.
+
+    The synthetic corpus has zero near-dups by construction, so the
+    pipeline unions deterministic PLANTED twins (every seq%195==0 row of
+    the seq%5==0 subset, first token perturbed, id suffixed "~nd") —
+    each plant must come back as a 2-member cluster.  LSH-defined →
+    rows-only; token-mode signature semantics are pinned in
+    tests/test_dedup.py."""
+
+    def seq_mod_sel(batch: pa.Table, mod: int) -> pa.Table:
+        seq = pc.cast(
+            pc.utf8_slice_codeunits(batch["doc_id"].combine_chunks(),
+                                    start=-8),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(seq % mod == 0))
+
+    def make_twin(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).copy()
+        starts = off[:-1][np.diff(off) > 0]
+        flat[starts] = (flat[starts] + 1) % 50257
+        twins = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()),
+            pa.array(flat, pa.int32()),
+        )
+        ids = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id"].combine_chunks(), pa.string()), "~nd", ""
+        )
+        return pa.table({"doc_id": ids, "tokens": twins})
+
+    base = _sequences_ds(sf_dir).map_batches(
+        lambda b: seq_mod_sel(b.select(["doc_id", "tokens"]), 5),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    twins = base.map_batches(
+        lambda b: make_twin(seq_mod_sel(b, 195)),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return minhash_lsh_clusters(
+        base.union(twins), text_col="tokens", threshold=0.8,
+        coarse=_adaptive_coarse(sf_dir, hi=1024), shuffle_mode="light",
+    )
+
+
 def q_token_histogram_top(sf_dir: str):
     from log_formatter_ray.ops.tokens import token_histogram
 
@@ -2080,6 +2130,7 @@ QUERIES = {
     "mixture_sample_documents": q_mixture_sample_documents,
     "unigram_ppl_documents": q_unigram_ppl_documents,
     "dedup_best_documents": q_dedup_best_documents,
+    "minhash_clusters_sequences": q_minhash_clusters_sequences,
 }
 
 ORACLE_SQL = {

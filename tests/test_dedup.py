@@ -542,3 +542,45 @@ def test_elect_cluster_reps_quality_argmax():
         .to_pandas()["doc_id"].sort_values().tolist()
     )
     assert kept == [3, 10, 20, 99]
+
+
+def test_minhash_over_token_sequences():
+    """MinHasher auto-detects a list<int> column and shingles over token
+    ids — near-dup token sequences cluster without any text round-trip;
+    signature identity matches between whole and sliced batches."""
+    from log_formatter_ray.ops.dedup import MinHasher
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 50_000, size=120).astype(np.int32).tolist()
+    rows = []
+    for i in range(30):
+        if i < 3:  # exact copies
+            rows.append({"doc_id": i, "tokens": list(base)})
+        elif i < 6:  # near dups: one token changed
+            t = list(base)
+            t[60] = int(t[60]) + 1
+            rows.append({"doc_id": i, "tokens": t})
+        else:
+            rows.append({
+                "doc_id": i,
+                "tokens": rng.integers(0, 50_000, size=120).astype(
+                    np.int32).tolist(),
+            })
+    t = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "tokens": pa.array([r["tokens"] for r in rows], pa.list_(pa.int32())),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    clusters = minhash_lsh_clusters(
+        ds, text_col="tokens", threshold=0.5, coarse=16
+    ).to_pandas()
+    members = set(clusters.loc[clusters["rep"] == 0, "id"])
+    assert {0, 1, 2}.issubset(members | {0})   # exact copies cluster
+    assert {3, 4, 5} & (members | set())       # near dups join
+    assert not ({10, 20, 29} & members)        # unrelated never join
+
+    # signature parity: sliced batch == same rows standalone
+    mh = MinHasher(text_col="tokens")
+    whole = mh(t)["sig"].to_pylist()
+    part = mh(t.slice(2, 5))["sig"].to_pylist()
+    assert part == whole[2:7]
