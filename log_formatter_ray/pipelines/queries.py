@@ -1766,6 +1766,41 @@ GROUP BY d.doc_id, d.text
 """
 
 
+def q_line_dedup_documents(sf_dir: str):
+    """Corpus-wide exact duplicate-LINE removal (RefinedWeb §3.2.3 /
+    Dolma paragraph dedup): keep only the globally FIRST occurrence of
+    each distinct line (winner = smallest ``(doc_id, pos)``), rewrite
+    docs from their surviving lines, drop fully-stripped docs.  Word
+    granularity (``sep=" "``) on this single-line corpus — production
+    uses ``sep="\\n"`` (same parameterization as ``dup_line_documents``).
+    Only 28-byte ``(h1,h2,id,pos)`` rows shuffle; text never does.
+    Oracle-backed but gate-invisible (window full of unique SQLs;
+    ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.ops.linededup import global_line_dedup
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return global_line_dedup(ds, sep=" ", coarse=_adaptive_coarse(sf_dir))
+
+
+_SQL_LINE_DEDUP_DOCUMENTS = """
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS w,
+         unnest(range(len(string_split(coalesce(text, ''), ' ')))) AS pos
+  FROM documents
+), ranked AS (
+  SELECT doc_id, pos, w,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+  FROM exploded
+)
+SELECT doc_id,
+       string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+HAVING count(*) FILTER (WHERE rn = 1) > 0
+"""
+
+
 def q_stratified_sample_documents(sf_dir: str):
     """Exact-20-per-lang quota sample: per-block pre-top-k combiner, one
     coarse keyed shuffle of the survivors, selection = smallest md5(id)
@@ -2106,6 +2141,7 @@ QUERIES = {
     # tools/check_oracle.py verifies them all) ---
     "sort_limit_documents": q_sort_limit_documents,
     "dup_line_documents": q_dup_line_documents,
+    "line_dedup_documents": q_line_dedup_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
     # --- rows-only (no SQL oracle by design) ---
@@ -2181,6 +2217,7 @@ ORACLE_SQL = {
     "redact_documents": _SQL_REDACT_DOCUMENTS,
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
     "dup_line_documents": _SQL_DUP_LINE_DOCUMENTS,
+    "line_dedup_documents": _SQL_LINE_DEDUP_DOCUMENTS,
     "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,
