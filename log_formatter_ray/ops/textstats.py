@@ -636,3 +636,85 @@ def top_distinctive_term(batch: pa.Table, vocab: np.ndarray, df: np.ndarray,
         "tf": pa.array(tf[sel].astype(np.int64)),
         "df": pa.array(df[w_u[sel]].astype(np.int64)),
     })
+
+
+def gopher_quality_filter(
+    batch: pa.Table,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    mwl2_lo: int = 6,
+    mwl2_hi: int = 20,
+    min_stop: int = 2,
+    alpha_num: int = 4,
+    alpha_den: int = 5,
+    sym_mult: int = 10,
+) -> pa.Table:
+    """Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1), applied
+    per batch with ALL-INTEGER arithmetic so an SQL oracle compares
+    exactly (no float thresholds anywhere):
+
+    - word count: ``min_words <= n_words <= max_words`` (space-split
+      segments, DuckDB ``string_split`` parity);
+    - mean word length in ``[mwl2_lo/2, mwl2_hi/2]`` — encoded as
+      ``mwl2_lo*n_words <= 2*content_chars <= mwl2_hi*n_words`` where
+      ``content_chars = n_chars - (n_words-1)`` (chars excl. the
+      separators); defaults 6..20 = the published 3..10 bound;
+    - stopword floor: ``n_stop >= min_stop`` occurrences of the
+      :data:`STOPWORDS` list;
+    - alphabetic-word floor: ``alpha_den * n_alpha >= alpha_num *
+      n_words`` (default 4/5 = Gopher's 80% of words must contain an
+      alphabetic character);
+    - symbol cap: ``sym_mult * n_sym <= n_words`` (default: '#' plus
+      U+2026 ellipsis occurrences at most 10% of words — Gopher's
+      symbol-to-word ratio 0.1).
+
+    Returns the KEPT rows with the integer evidence columns
+    (``n_words``, ``content_chars``, ``n_stop``, ``n_alpha``,
+    ``n_sym``) appended.  Null texts are rejected (SQL ``WHERE`` on a
+    NULL predicate).  One vectorized pass, no shuffle; compose with any
+    downstream stage.
+    """
+    text = batch[text_col].combine_chunks()
+    valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(text, "")
+
+    words = pc.split_pattern(filled, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = _list_offsets(words).astype(np.int64)
+    offsets = offsets - offsets[0]
+    n_words = np.diff(offsets).astype(np.int64)
+    n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    content_chars = n_chars - (n_words - 1)
+
+    flat = words.flatten()
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    n_stop = _per_row_sum(is_stop.astype(np.int64), offsets)
+    is_alpha = pc.match_substring_regex(flat, "[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    n_alpha = _per_row_sum(is_alpha.astype(np.int64), offsets)
+    n_sym = (
+        pc.count_substring(filled, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(filled, "…").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+    keep = (
+        valid
+        & (n_words >= min_words) & (n_words <= max_words)
+        & (mwl2_lo * n_words <= 2 * content_chars)
+        & (2 * content_chars <= mwl2_hi * n_words)
+        & (n_stop >= min_stop)
+        & (alpha_den * n_alpha >= alpha_num * n_words)
+        & (sym_mult * n_sym <= n_words)
+    )
+    for name, col in (("n_words", n_words), ("content_chars", content_chars),
+                      ("n_stop", n_stop), ("n_alpha", n_alpha),
+                      ("n_sym", n_sym)):
+        batch = batch.append_column(name, pa.array(col))
+    return batch.filter(pa.array(keep))

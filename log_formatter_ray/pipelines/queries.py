@@ -1766,6 +1766,53 @@ GROUP BY d.doc_id, d.text
 """
 
 
+def q_gopher_filter_documents(sf_dir: str):
+    """Gopher-rules quality filter bundle (Rae et al. 2021 §A1.1) — word
+    count, mean-word-length band, stopword floor, alphabetic-word floor,
+    symbol cap — all integer arithmetic so the oracle compares exactly.
+    The mean-word-length band is tightened to [3.5, 4.5] (``mwl2`` 7..9)
+    so the rule discriminates on this corpus (the published 3..10 band
+    passes 100% of it); op defaults remain the published bounds.
+    Oracle-backed but gate-invisible (window full of unique SQLs;
+    ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.ops.textstats import gopher_quality_filter
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: gopher_quality_filter(
+            b, min_words=30, max_words=150, mwl2_lo=7, mwl2_hi=9,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).select_columns(
+        ["doc_id", "n_words", "content_chars", "n_stop", "n_alpha", "n_sym"]
+    )
+
+
+_SQL_GOPHER_FILTER_DOCUMENTS = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+           AS content_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> w IN ('the','a','and','of','to','in','is','it')))
+           AS BIGINT) AS n_stop,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(length(text)
+              - length(replace(replace(text, '#', ''), '…', ''))
+           AS BIGINT) AS n_sym
+  FROM documents
+)
+SELECT * FROM f
+WHERE n_words BETWEEN 30 AND 150
+  AND 7 * n_words <= 2 * content_chars AND 2 * content_chars <= 9 * n_words
+  AND n_stop >= 2
+  AND 5 * n_alpha >= 4 * n_words
+  AND 10 * n_sym <= n_words
+"""
+
+
 def q_line_dedup_documents(sf_dir: str):
     """Corpus-wide exact duplicate-LINE removal (RefinedWeb §3.2.3 /
     Dolma paragraph dedup): keep only the globally FIRST occurrence of
@@ -2141,6 +2188,7 @@ QUERIES = {
     # tools/check_oracle.py verifies them all) ---
     "sort_limit_documents": q_sort_limit_documents,
     "dup_line_documents": q_dup_line_documents,
+    "gopher_filter_documents": q_gopher_filter_documents,
     "line_dedup_documents": q_line_dedup_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
@@ -2217,6 +2265,7 @@ ORACLE_SQL = {
     "redact_documents": _SQL_REDACT_DOCUMENTS,
     "dup_ngram_documents": _SQL_DUP_NGRAM_DOCUMENTS,
     "dup_line_documents": _SQL_DUP_LINE_DOCUMENTS,
+    "gopher_filter_documents": _SQL_GOPHER_FILTER_DOCUMENTS,
     "line_dedup_documents": _SQL_LINE_DEDUP_DOCUMENTS,
     "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,

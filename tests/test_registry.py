@@ -36,6 +36,7 @@ def test_every_oracle_name_has_a_query():
 GATE_INVISIBLE_UNIQUE_SQL = {
     "sort_limit_documents",
     "dup_line_documents",
+    "gopher_filter_documents",
     "line_dedup_documents",
     "stratified_sample_documents",
     "decontaminate_sequences",

@@ -1,6 +1,8 @@
 """Text-analysis kernels vs DuckDB oracles on the real documents table."""
 
 import duckdb
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -468,3 +470,82 @@ def test_dup_line_stats_matches_duckdb_word_level(docs):
     assert got["n_dup_lines"].tolist() == exp["n_dup_lines"].tolist()
     assert got["dup_line_chars"].tolist() == exp["dup_line_chars"].tolist()
     assert got["n_chars"].tolist() == exp["n_chars"].tolist()
+
+
+def test_gopher_quality_filter_rules():
+    """Each Gopher rule rejects independently; integer evidence columns
+    ride along on kept rows."""
+    from log_formatter_ray.ops.textstats import gopher_quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the old pier"
+    rows = {
+        "ok": good,                                   # passes everything
+        "short": "the a dog",                         # < min_words
+        "no_stop": "quick brown foxes jump over lazy dogs near old piers wow hey yo",
+        "symbols": "# " * 6 + good,                   # symbol cap
+        "long_words": "the a " + " ".join(["extraordinarily"] * 10),
+        "null": None,                                 # rejected outright
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(rows), pa.string()),
+        "text": pa.array(list(rows.values()), pa.string()),
+    })
+    out = gopher_quality_filter(t, min_words=10, max_words=100,
+                                mwl2_lo=6, mwl2_hi=10, min_stop=2)
+    kept = out["doc_id"].to_pylist()
+    assert kept == ["ok"]
+    assert out.column_names[-5:] == [
+        "n_words", "content_chars", "n_stop", "n_alpha", "n_sym"
+    ]
+    assert out["n_words"].to_pylist() == [13]
+    assert out["n_stop"].to_pylist() == [3]  # the, a, the
+
+
+def test_gopher_quality_filter_matches_duckdb():
+    """Random corpus: kept set and evidence columns equal the SQL
+    formulation exactly (all-integer arithmetic)."""
+    import duckdb
+
+    from log_formatter_ray.ops.textstats import gopher_quality_filter
+
+    rng = np.random.default_rng(3)
+    vocab = ["the", "a", "of", "fox", "pier", "quix", "#", "…x",
+             "lengthyword", "tiny", "zz"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(2, 40)))
+        for _ in range(400)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (
+        gopher_quality_filter(t, min_words=5, max_words=30,
+                              mwl2_lo=4, mwl2_hi=9, min_stop=1)
+        .select(["doc_id", "n_words", "content_chars", "n_stop",
+                 "n_alpha", "n_sym"])
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                 CAST(length(text) - (len(string_split(text,' ')) - 1) AS BIGINT) AS content_chars,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('the','a','and','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(length(text) - length(replace(replace(text,'#',''),'…','')) AS BIGINT) AS n_sym
+          FROM documents
+        )
+        SELECT * FROM f
+        WHERE n_words BETWEEN 5 AND 30
+          AND 4*n_words <= 2*content_chars AND 2*content_chars <= 9*n_words
+          AND n_stop >= 1
+          AND 5*n_alpha >= 4*n_words
+          AND 10*n_sym <= n_words
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
