@@ -546,6 +546,50 @@ def q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.9, nbits=6)
 
 
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, mark
+    cosine-≥-threshold members WITHIN each cluster as semantic dups →
+    (id, rep) groups.  Deterministic (hash-reservoir centroid sample,
+    fixed seed, exact within-cluster comparison) but k-means-defined →
+    rows-only; exactness is pinned against a brute-force oracle in
+    tests/test_semdedup.py."""
+    from log_formatter_ray.ops.semdedup import semdedup_clusters
+
+    ds = _tbl(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # the synthetic embeddings have no near-dups (max pairwise cosine
+    # ~0.51), so union deterministic PLANTED twins: every vec_id%25==0
+    # vector, first component nudged, id offset by 10**7 — each plant
+    # must come back as a 2-group with rep = the original id
+    def make_twin(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].combine_chunks().to_numpy(
+            zero_copy_only=False
+        )
+        sel = ids % 25 == 0
+        emb = batch["embedding"].combine_chunks()
+        off = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = emb.flatten().to_numpy(zero_copy_only=False).copy()
+        starts = off[:-1][np.diff(off) > 0]
+        flat[starts] = flat[starts] + np.float32(1e-3)
+        twins = pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()),
+            pa.array(flat, pa.float32()),
+        )
+        return pa.table({
+            "vec_id": pa.array(ids + 10_000_000),
+            "embedding": twins,
+        }).filter(pa.array(sel))
+
+    twins = ds.map_batches(
+        make_twin, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return semdedup_clusters(
+        ds.union(twins), n_clusters=8, threshold=0.95, coarse=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2203,6 +2247,7 @@ QUERIES = {
     "minhash_clusters_documents": q_minhash_clusters_documents,
     "simhash_documents": q_simhash_documents,
     "embedding_dups": q_embedding_dups,
+    "semdedup_embeddings": q_semdedup_embeddings,
     "jaccard_near_dups": q_jaccard_near_dups,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "span_dup_documents": q_span_dup_documents,
