@@ -67,6 +67,13 @@ BENCH_QUERIES = [
     "stratified_sample_documents",
     "unigram_ppl_documents",
     "dedup_best_documents",
+    # round-5 additions (cont.): token-level decontamination + MinHash,
+    # global line dedup, Gopher rule filter, SemDeDup
+    "decontaminate_sequences",
+    "minhash_clusters_sequences",
+    "line_dedup_documents",
+    "gopher_filter_documents",
+    "semdedup_embeddings",
 ]
 
 

@@ -144,9 +144,15 @@ def _shingle_hashes(
     # then gather the starts that do not cross a row boundary
     long_rows = nw >= k
     if long_rows.any():
-        sw = np.lib.stride_tricks.sliding_window_view(h, k)  # (W, k) view
+        W = h.size - k + 1
         powers = _FNV_PRIME ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-        fold = (sw * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        # shifted CONTIGUOUS slices beat a sliding_window_view multiply
+        # (strided gathers) ~3× at multi-M shingle counts
+        fold = np.zeros(W, np.uint64)
+        tmp = np.empty(W, np.uint64)
+        for j in range(k):
+            np.multiply(h[j:j + W], powers[j], out=tmp)
+            fold += tmp
         reps = np.where(long_rows, counts, 0)
         base = np.repeat(offsets[:-1], reps)
         csum = np.zeros(n, np.int64)
@@ -320,12 +326,6 @@ class MinHasher:
         self.num_perm = num_perm
         self.shingle_k = shingle_k
 
-    # Cap on the transient (num_perm × shingles) permutation matrix per
-    # slice: 1M shingles × 64 perms × 8 B ≈ 512 MB worst case; long-doc
-    # batches are processed in row slices under this bound instead of
-    # materializing one batch-wide matrix.
-    MAX_SLICE_SHINGLES = 1_000_000
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = self.shingle_k
         n_rows = len(batch)
@@ -333,9 +333,8 @@ class MinHasher:
         # one Arrow whitespace split + one hash_array over the flat words,
         # then a rolling polynomial fold of k consecutive word hashes
         # (duplicates within a row are harmless — min over duplicates
-        # equals min over the set).  Per-row minima via reduceat over the
-        # flat (num_perm, S) matrix, in row slices bounded by
-        # MAX_SLICE_SHINGLES.
+        # equals min over the set).  Per-row minima via reduceat, one
+        # permutation at a time over flat (S,) buffers.
         col = batch[self.text_col]
         col_type = col.type if not isinstance(col, pa.ChunkedArray) \
             else col.chunk(0).type if col.num_chunks else col.type
@@ -349,33 +348,31 @@ class MinHasher:
 
         sigs = np.zeros((n_rows, self.num_perm), dtype=np.uint64)
         if h_all.size:
-            h_all = h_all % _MERSENNE31  # (S,)
-            # slice rows so the (num_perm, slice_shingles) matrix stays
-            # bounded regardless of document lengths
-            row = 0
-            while row < n_rows:
-                end = row
-                while (
-                    end < n_rows
-                    and (end == row
-                         or offsets[end + 1] - offsets[row] <= self.MAX_SLICE_SHINGLES)
-                ):
-                    end += 1
-                lo, hi = offsets[row], offsets[end]
-                if hi > lo:
-                    h = h_all[lo:hi]
-                    vals = (
-                        self.a[:, None] * h[None, :] + self.b[:, None]
-                    ) % _MERSENNE31
-                    local_off = offsets[row:end] - lo
-                    nonempty = local_off < (offsets[row + 1 : end + 1] - lo)
-                    if nonempty.any():
-                        mins = np.minimum.reduceat(
-                            vals, local_off[nonempty], axis=1
-                        )
-                        idx = np.arange(row, end)[nonempty]
-                        sigs[idx] = mins.T
-                row = end
+            h = h_all % _MERSENNE31  # (S,)
+            nonempty = np.diff(offsets) > 0
+            starts = offsets[:-1][nonempty]
+            # One permutation at a time over flat (S,) buffers — the
+            # (num_perm × S) matrix form paid ~11× more wall time: uint64
+            # `%` is an integer DIVISION per element, and the matrix
+            # (512 MB per 1M shingles) thrashed the memory bus.  Here the
+            # modulus is a branch-free two-fold Mersenne-31 reduction
+            # (2^31 ≡ 1 mod M, valid for x < 2^62 = max(a*h+b)) and the
+            # working set is three S-sized buffers.
+            tmp = np.empty(h.size, np.uint64)
+            red = np.empty(h.size, np.uint64)
+            M = _MERSENNE31
+            for j in range(self.num_perm):
+                np.multiply(h, self.a[j], out=tmp)
+                np.add(tmp, self.b[j], out=tmp)
+                np.bitwise_and(tmp, M, out=red)
+                np.right_shift(tmp, np.uint64(31), out=tmp)
+                np.add(red, tmp, out=tmp)        # < 2^32
+                np.bitwise_and(tmp, M, out=red)
+                np.right_shift(tmp, np.uint64(31), out=tmp)
+                np.add(red, tmp, out=tmp)        # <= M+1
+                np.subtract(tmp, M, out=red)     # wraps below M
+                np.minimum(tmp, red, out=tmp)    # == (a*h+b) % M
+                sigs[nonempty, j] = np.minimum.reduceat(tmp, starts)
         sig_list = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )
