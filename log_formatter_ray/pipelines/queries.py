@@ -546,6 +546,25 @@ def q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(ds, threshold=0.9, nbits=6)
 
 
+def q_dsir_select_documents(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): fit hashed-uni+bigram
+    bag models over a TARGET domain (the ``lang='de'`` slice) and the
+    raw corpus, score every document's log importance weight, keep the
+    top 100 target-like docs.  Integer tree-reduced histograms + per-row
+    reduceat make scores bit-deterministic across parallelism →
+    rows-only (float weights; separation/invariance pinned in
+    tests/test_dsir.py)."""
+    from log_formatter_ray.ops.dsir import fit_dsir, score_dsir
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = ds.filter(expr="lang == 'de'")
+    lr = fit_dsir(target, ds, buckets=8192)
+    scored = score_dsir(ds, lr).select_columns(["doc_id", "dsir_logw"])
+    return scored.sort(
+        ["dsir_logw", "doc_id"], descending=[True, False]
+    ).limit(100)
+
+
 def q_semdedup_embeddings(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means the embedding space, mark
     cosine-≥-threshold members WITHIN each cluster as semantic dups →
@@ -2248,6 +2267,7 @@ QUERIES = {
     "simhash_documents": q_simhash_documents,
     "embedding_dups": q_embedding_dups,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "dsir_select_documents": q_dsir_select_documents,
     "jaccard_near_dups": q_jaccard_near_dups,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "span_dup_documents": q_span_dup_documents,
