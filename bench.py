@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "line_dedup_documents",
     "gopher_filter_documents",
     "semdedup_embeddings",
+    "dsir_select_documents",
 ]
 
 

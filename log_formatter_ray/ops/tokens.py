@@ -594,3 +594,145 @@ def dedup_sequences(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
     return partitioned_anti_join(
         ds, drops, id_col=id_col, drop_id_col=id_col, coarse=coarse
     )
+
+
+def span_corrupt_sequences(
+    batch: pa.Table,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    sentinel_base: int = VOCAB_SIZE - 1,
+    seed: int = 42,
+) -> pa.Table:
+    """T5-style span corruption (Raffel et al. 2020 §3.1.4): mask
+    ~``noise_density`` of each row's tokens in spans of mean length
+    ``mean_span``; ``inputs`` replaces each masked span with one
+    descending sentinel id (``sentinel_base - k``), ``targets`` is the
+    concatenation of ``[sentinel_k, span_k tokens...]`` runs plus a
+    closing sentinel — the standard encoder-decoder denoising pair.
+
+    Fully vectorized AND deterministic: span starts/lengths come from a
+    splitmix of ``hash(doc_id)`` and the token position — never a batch
+    RNG — so outputs are identical under any block layout or slice
+    (pinned by test).  Spans never cross row boundaries (lengths clip at
+    the row end).  One flat pass; no shuffle; rows needing more
+    sentinels than the vocab reserves are the caller's contract
+    (sentinel ids simply keep descending).
+
+    Output: (id_col, inputs: list<int32>, targets: list<int32>).
+    """
+    from log_formatter_ray.ops.dedup import _GOLDEN64, _stable_hash64
+
+    tokens = batch[tokens_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
+    n = len(off) - 1
+    total = int(off[-1])
+    counts = np.diff(off)
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+
+    # per-position PRN: splitmix64(hash(doc_id) + golden*(pos_in_row+1+seed))
+    r = _stable_hash64(ids.to_numpy(zero_copy_only=False))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts)
+    h = np.repeat(r, counts) + (
+        (pos.astype(np.uint64) + np.uint64(1 + seed)) * _GOLDEN64
+    )
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+
+    p_start = noise_density / mean_span
+    is_start = (h & np.uint64(0xFFFFFFFF)) < np.uint64(
+        int(p_start * (1 << 32))
+    )
+    span_len = 1 + ((h >> np.uint64(33)) % np.uint64(2 * mean_span - 1))
+
+    # union of spans via +1/-1 deltas cumsummed along the flat stream;
+    # the -1 lands at min(start+len, row_end) so spans clip at row ends
+    row_end = np.repeat(off[1:], counts)
+    starts = np.flatnonzero(is_start)
+    ends = np.minimum(
+        starts + span_len[starts].astype(np.int64), row_end[starts]
+    )
+    delta = np.zeros(total + 1, np.int64)
+    np.add.at(delta, starts, 1)
+    np.add.at(delta, ends, -1)
+    masked = np.cumsum(delta[:-1]) > 0
+
+    # run starts (row-aware): masked with no masked predecessor in-row
+    prev = np.zeros(total, bool)
+    prev[1:] = masked[:-1]
+    is_row_start = np.zeros(total, bool)
+    is_row_start[off[:-1][counts > 0]] = True
+    run_start = masked & (~prev | is_row_start)
+
+    # per-row run ordinal k (0-based) at each run start
+    rs_cum = np.cumsum(run_start)
+    row_runs = np.add.reduceat(
+        run_start.astype(np.int64), off[:-1][counts > 0]
+    ) if total else np.zeros(0, np.int64)
+    runs_per_row = np.zeros(n, np.int64)
+    runs_per_row[counts > 0] = row_runs
+    runs_before = np.cumsum(runs_per_row) - runs_per_row
+    k = (rs_cum - 1) - np.repeat(runs_before, counts)  # valid at run starts
+    sentinel = (sentinel_base - k).astype(np.int64)
+
+    # ---- inputs: unmasked tokens, sentinels at run starts ----
+    keep = ~masked | run_start
+    in_vals = np.where(run_start, sentinel, flat.astype(np.int64))[keep]
+    in_off = np.zeros(n + 1, np.int64)
+    np.cumsum(_per_row_counts(keep, off), out=in_off[1:])
+
+    # ---- targets: [sentinel_k, span_k...] runs + closing sentinel ----
+    # event keys order everything in one sort-free pass: run-start
+    # sentinel at p*4, masked token at p*4+1, closing sentinel at
+    # (row_end-1)*4+3 (after every in-row event, before the next row's)
+    n_masked_row = _per_row_counts(masked, off)
+    has_runs = runs_per_row > 0
+    tgt_counts = n_masked_row + runs_per_row + has_runs.astype(np.int64)
+    tgt_off = np.zeros(n + 1, np.int64)
+    np.cumsum(tgt_counts, out=tgt_off[1:])
+    keys = np.concatenate([
+        np.flatnonzero(run_start) * 4,
+        np.flatnonzero(masked) * 4 + 1,
+        (off[1:][has_runs] - 1) * 4 + 3,
+    ])
+    vals = np.concatenate([
+        sentinel[run_start],
+        flat.astype(np.int64)[masked],
+        (sentinel_base - runs_per_row[has_runs]),
+    ])
+    order = np.argsort(keys, kind="stable")
+    tgt_vals = vals[order]
+
+    def _list(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), pa.int32()),
+            pa.array(values.astype(np.int32), pa.int32()),
+        )
+
+    return pa.table({
+        id_col: ids,
+        "inputs": _list(in_vals, in_off),
+        "targets": _list(tgt_vals, tgt_off),
+    })
+
+
+def _per_row_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """Per-row True counts of a flat boolean mask (reduceat, empty-row
+    safe)."""
+    n = len(off) - 1
+    out = np.zeros(n, np.int64)
+    nonempty = off[:-1] < off[1:]
+    if mask.size and nonempty.any():
+        out[nonempty] = np.add.reduceat(
+            mask.astype(np.int64), off[:-1][nonempty]
+        )
+    return out

@@ -1507,6 +1507,31 @@ def q_minhash_clusters_sequences(sf_dir: str):
     )
 
 
+def q_span_corrupt_sequences(sf_dir: str):
+    """T5 span corruption over the pretokenized corpus: mask ~15% of
+    each sequence in mean-3 spans, emit (inputs, targets) denoising
+    pairs, report per-row sizes.  Hash-derived spans → deterministic
+    under any layout, but not SQL-expressible → rows-only; the
+    round-trip inverse is pinned in tests/test_tokens.py."""
+    from log_formatter_ray.ops.tokens import span_corrupt_sequences
+
+    def corrupt_stats(batch: pa.Table) -> pa.Table:
+        out = span_corrupt_sequences(batch)
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_input": pc.list_value_length(out["inputs"]).cast(pa.int64()),
+            "n_target": pc.list_value_length(out["targets"]).cast(
+                pa.int64()),
+        })
+
+    return (
+        _sequences_ds(sf_dir)
+        .map_batches(corrupt_stats, batch_format="pyarrow",
+                     batch_size=None, zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
 def q_token_histogram_top(sf_dir: str):
     from log_formatter_ray.ops.tokens import token_histogram
 
@@ -2268,6 +2293,7 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "semdedup_embeddings": q_semdedup_embeddings,
     "dsir_select_documents": q_dsir_select_documents,
+    "span_corrupt_sequences": q_span_corrupt_sequences,
     "jaccard_near_dups": q_jaccard_near_dups,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "span_dup_documents": q_span_dup_documents,

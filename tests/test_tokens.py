@@ -230,3 +230,75 @@ def test_dedup_sequences_exact_and_byte_exact():
     by_id = {r[0]: r[1] for r in rows}
     for _, row in got.iterrows():
         assert list(row["tokens"]) == by_id[row["doc_id"]]  # byte-exact
+
+
+def _decode_span_corrupt(inputs, targets, sentinel_floor):
+    """Reconstruct the original sequence from a (inputs, targets) pair."""
+    spans, cur = {}, None
+    for t in targets:
+        if t >= sentinel_floor:
+            cur = t
+            spans.setdefault(cur, [])
+        else:
+            spans[cur].append(t)
+    out = []
+    for t in inputs:
+        if t >= sentinel_floor:
+            out.extend(spans[t])
+        else:
+            out.append(t)
+    return out
+
+
+def test_span_corrupt_round_trips_and_is_slice_invariant():
+    from log_formatter_ray.ops.tokens import span_corrupt_sequences
+
+    rng = np.random.default_rng(8)
+    rows = [rng.integers(0, 1000, size=L).astype(np.int32).tolist()
+            for L in (0, 1, 2, 40, 200, 7, 500)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "tokens": pa.array(rows, pa.list_(pa.int32())),
+    })
+    out = span_corrupt_sequences(t, sentinel_base=50_256)
+    floor = 50_256 - 2000
+    masked_total = 0
+    for i, orig in enumerate(rows):
+        inp = out["inputs"][i].as_py()
+        tgt = out["targets"][i].as_py()
+        assert _decode_span_corrupt(inp, tgt, floor) == orig, i
+        n_sent = sum(1 for x in inp if x >= floor)
+        masked_total += len(orig) - (len(inp) - n_sent)
+        if n_sent:
+            # targets: k run sentinels + closing, descending from base
+            sents = [x for x in tgt if x >= floor]
+            assert sents == list(range(50_256, 50_256 - n_sent - 1, -1))
+        else:
+            assert tgt == []
+    # ~15% of the 750 tokens masked (loose band: hash-random)
+    assert 0.05 < masked_total / 750 < 0.35
+
+    # slice invariance: same rows, sliced batch
+    part = span_corrupt_sequences(t.slice(3, 3), sentinel_base=50_256)
+    assert part["inputs"].to_pylist() == out["inputs"].to_pylist()[3:6]
+    assert part["targets"].to_pylist() == out["targets"].to_pylist()[3:6]
+
+
+def test_span_corrupt_spans_never_cross_rows():
+    """Identical tokens + identical ids would mask identically; DISTINCT
+    ids give independent masks, and every row decodes independently."""
+    from log_formatter_ray.ops.tokens import span_corrupt_sequences
+
+    base = list(range(100))
+    t = pa.table({
+        "doc_id": pa.array(["a", "b"]),
+        "tokens": pa.array([base, base], pa.list_(pa.int32())),
+    })
+    out = span_corrupt_sequences(t, sentinel_base=50_256)
+    floor = 50_256 - 2000
+    for i in range(2):
+        assert _decode_span_corrupt(
+            out["inputs"][i].as_py(), out["targets"][i].as_py(), floor
+        ) == base
+    # distinct doc ids -> distinct PRN streams
+    assert out["inputs"][0].as_py() != out["inputs"][1].as_py()
