@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "gopher_filter_documents",
     "semdedup_embeddings",
     "dsir_select_documents",
+    "span_corrupt_sequences",
 ]
 
 
