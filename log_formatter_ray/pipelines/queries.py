@@ -1936,6 +1936,52 @@ HAVING count(*) FILTER (WHERE rn = 1) > 0
 """
 
 
+def q_incdedup_documents(sf_dir: str):
+    """Incremental dedup against a persisted index: build the
+    hash-partitioned (h1,h2) index from the ``doc_id%5==0`` slice (the
+    "historical corpus"), then probe the WHOLE table as the arriving
+    wave — exactly SQL ``NOT EXISTS`` against the slice.  Each probe
+    task reads only its partition dir; the historical corpus is never
+    re-read or shuffled.  ``within=False`` so semantics are the pure
+    anti-probe (the wave-loop ``within=True`` path is pinned in
+    tests/test_incdedup.py).  Oracle-backed but gate-invisible (window
+    full of unique SQLs; ``tools/check_oracle.py`` verifies it)."""
+    import shutil
+
+    from log_formatter_ray.ops.incdedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    def hist_slice(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 5 == 0))
+
+    hist = ds.map_batches(
+        hist_slice, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    path = os.path.join(
+        "/tmp", "lfr_incdedup_idx_" + os.path.basename(
+            os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    build_dedup_index(hist, path, parts=32)
+    return dedup_against_index(ds, path, parts=32, within=False).sort(
+        "doc_id"
+    )
+
+
+_SQL_INCDEDUP_DOCUMENTS = """
+SELECT d.doc_id, d.text FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents i WHERE i.doc_id % 5 = 0 AND i.text = d.text
+)
+ORDER BY d.doc_id
+"""
+
+
 def q_stratified_sample_documents(sf_dir: str):
     """Exact-20-per-lang quota sample: per-block pre-top-k combiner, one
     coarse keyed shuffle of the survivors, selection = smallest md5(id)
@@ -2278,6 +2324,7 @@ QUERIES = {
     "dup_line_documents": q_dup_line_documents,
     "gopher_filter_documents": q_gopher_filter_documents,
     "line_dedup_documents": q_line_dedup_documents,
+    "incdedup_documents": q_incdedup_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
     # --- rows-only (no SQL oracle by design) ---
@@ -2358,6 +2405,7 @@ ORACLE_SQL = {
     "dup_line_documents": _SQL_DUP_LINE_DOCUMENTS,
     "gopher_filter_documents": _SQL_GOPHER_FILTER_DOCUMENTS,
     "line_dedup_documents": _SQL_LINE_DEDUP_DOCUMENTS,
+    "incdedup_documents": _SQL_INCDEDUP_DOCUMENTS,
     "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,

@@ -37,6 +37,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "sort_limit_documents",
     "dup_line_documents",
     "gopher_filter_documents",
+    "incdedup_documents",
     "line_dedup_documents",
     "stratified_sample_documents",
     "decontaminate_sequences",
