@@ -638,12 +638,13 @@ def span_corrupt_sequences(
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
 
-    # per-position PRN: splitmix64(hash(doc_id) + golden*(pos_in_row+1+seed))
+    # per-position PRN: splitmix64(hash(doc_id) + golden*(pos_in_row+1+seed)).
+    # pos_in_row = global_idx - row_start, so the row_start*golden term
+    # folds into a per-row constant and the pos array is never built —
+    # values are IDENTICAL to the explicit form (layout/slice-invariant)
     r = _stable_hash64(ids.to_numpy(zero_copy_only=False))
-    pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], counts)
-    h = np.repeat(r, counts) + (
-        (pos.astype(np.uint64) + np.uint64(1 + seed)) * _GOLDEN64
-    )
+    per_row = r + (np.uint64(1 + seed) - off[:-1].astype(np.uint64)) * _GOLDEN64
+    h = np.repeat(per_row, counts) + np.arange(total, dtype=np.uint64) * _GOLDEN64
     h ^= h >> np.uint64(33)
     h *= np.uint64(0xFF51AFD7ED558CCD)
     h ^= h >> np.uint64(29)
@@ -652,18 +653,19 @@ def span_corrupt_sequences(
     is_start = (h & np.uint64(0xFFFFFFFF)) < np.uint64(
         int(p_start * (1 << 32))
     )
-    span_len = 1 + ((h >> np.uint64(33)) % np.uint64(2 * mean_span - 1))
 
     # union of spans via +1/-1 deltas cumsummed along the flat stream;
-    # the -1 lands at min(start+len, row_end) so spans clip at row ends
-    row_end = np.repeat(off[1:], counts)
+    # the -1 lands at min(start+len, row_end) so spans clip at row ends.
+    # span lengths only materialize AT start positions (sparse)
     starts = np.flatnonzero(is_start)
-    ends = np.minimum(
-        starts + span_len[starts].astype(np.int64), row_end[starts]
+    span_len = 1 + (
+        (h[starts] >> np.uint64(33)) % np.uint64(2 * mean_span - 1)
+    ).astype(np.int64)
+    row_end = np.repeat(off[1:], counts)
+    ends = np.minimum(starts + span_len, row_end[starts])
+    delta = np.bincount(starts, minlength=total + 1) - np.bincount(
+        ends, minlength=total + 1
     )
-    delta = np.zeros(total + 1, np.int64)
-    np.add.at(delta, starts, 1)
-    np.add.at(delta, ends, -1)
     masked = np.cumsum(delta[:-1]) > 0
 
     # run starts (row-aware): masked with no masked predecessor in-row
