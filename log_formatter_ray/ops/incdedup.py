@@ -123,12 +123,13 @@ def build_dedup_index(ds, path: str, text_col: str = "text",
 
 
 def dedup_against_index(ds, path: str, text_col: str = "text",
-                        parts: int = 256, within: bool = True):
+                        parts: int = 256, within: bool = True,
+                        id_col: str | None = None):
     """Drop rows whose content identity is already in the index at
     ``path``; with ``within=True`` (default) also dedup the NEW rows
-    against each other (first by ascending ``(h1, h2)`` batch order
-    wins — combine with ``exact_dedup`` upstream for id-ordered
-    semantics).  Each probe task reads only its partition directory."""
+    against each other — keeper is the min ``id_col`` row when given
+    (the ``exact_dedup`` convention), else the first in ``(h1, h2)``
+    sort order.  Each probe task reads only its partition directory."""
 
     def probe_part(group: pa.Table) -> pa.Table:
         p = int(group[PART_COL][0].as_py())
@@ -137,7 +138,12 @@ def dedup_against_index(ds, path: str, text_col: str = "text",
         h2 = group["_h2"].to_numpy(zero_copy_only=False)
         drop = _probe(h1, h2, i1, i2)
         if within:
-            order = np.lexsort((h2, h1))
+            if id_col is not None:
+                ids = group[id_col].combine_chunks().to_numpy(
+                    zero_copy_only=False)
+                order = np.lexsort((ids, h2, h1))
+            else:
+                order = np.lexsort((h2, h1))
             s1, s2 = h1[order], h2[order]
             dup = np.zeros(len(order), bool)
             dup[1:] = (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])

@@ -97,3 +97,13 @@ def test_within_false_keeps_internal_dups():
     wave = _docs([5, 6, 7], ["y", "y", "x"])
     kept = dedup_against_index(wave, path, parts=4, within=False)
     assert sorted(kept.to_pandas()["text"]) == ["y", "y"]
+
+
+def test_within_keeper_is_min_id_when_id_col_given():
+    path = _fresh()
+    build_dedup_index(_docs([1], ["z"]), path, parts=4)
+    wave = _docs([9, 5, 7], ["dup", "dup", "dup"]).repartition(3)
+    kept = dedup_against_index(
+        wave, path, parts=4, id_col="doc_id"
+    ).to_pandas()
+    assert kept["doc_id"].tolist() == [5]
