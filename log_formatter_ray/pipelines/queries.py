@@ -2060,6 +2060,39 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_curate_corpus_pipeline(sf_dir: str):
+    """The full modern curation recipe as ONE composition — what a user
+    of this engine actually chains at 100 TB: exact dedup (payload-light)
+    → MinHash-LSH near-dedup → Gopher quality rules → exact-k per-lang
+    quota sample.  Every stage is the already-verified operator; this
+    query pins that they COMPOSE (schemas line up, laziness is
+    preserved, no stage forces a driver materialization of the corpus).
+    LSH-defined membership → rows-only."""
+    from log_formatter_ray.ops.dedup import (
+        dedup_by_clusters,
+        exact_dedup,
+        minhash_lsh_clusters,
+    )
+    from log_formatter_ray.ops.sample import stratified_sample
+    from log_formatter_ray.ops.textstats import gopher_quality_filter
+
+    coarse = _adaptive_coarse(sf_dir)
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    d1 = exact_dedup(ds, mode="light", coarse=coarse)
+    clusters = minhash_lsh_clusters(
+        d1, threshold=0.8, coarse=_adaptive_coarse(sf_dir, hi=1024),
+        shuffle_mode="light",
+    )
+    d2 = dedup_by_clusters(d1, clusters)
+    d3 = d2.map_batches(
+        lambda b: gopher_quality_filter(
+            b, min_words=30, max_words=150, mwl2_lo=7, mwl2_hi=9,
+        ),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).select_columns(["doc_id", "lang", "n_words"])
+    return stratified_sample(d3, "lang", k=10)
+
+
 def q_clean_corpus_pipeline(sf_dir: str):
     """The C4/Gopher-style corpus-cleaning recipe as ONE streaming chain —
     the composition a real training-data pipeline runs: language-ID →
@@ -2341,6 +2374,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "dsir_select_documents": q_dsir_select_documents,
     "span_corrupt_sequences": q_span_corrupt_sequences,
+    "curate_corpus_pipeline": q_curate_corpus_pipeline,
     "jaccard_near_dups": q_jaccard_near_dups,
     "rolling_fingerprint_documents": q_rolling_fingerprint_documents,
     "span_dup_documents": q_span_dup_documents,
