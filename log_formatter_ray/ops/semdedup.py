@@ -29,6 +29,15 @@ No counterpart exists in the reference engine (see COVERAGE.md
 ``max_cluster`` caps the quadratic step on degenerate clusters (excess
 members are dropped from comparison and logged), exactly like the LSH
 ``max_bucket`` cap.
+
+At-rest alternative for very large corpora: the one keyed shuffle here
+ships every raw vector once (~3 KB/row at 768 float32 dims).  When the
+corpus already lives in parquet, ``IVFIndex.write_partitioned`` lays it
+out hive-partitioned by the same cluster id — then semantic dedup can
+run per ``cluster=`` directory with NO online shuffle at all (each
+directory is one partition of this op by construction).  Shuffle bytes
+can also be quartered with ``ann.quantize_embeddings`` int8 vectors at
+a small cosine-threshold tolerance cost.
 """
 
 from __future__ import annotations
