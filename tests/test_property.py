@@ -264,3 +264,100 @@ def test_binned_quantile_equals_duckdb_property(seed, q, bins):
     ).df().set_index("k")["out"]
     for k in ("big", "small", "one"):
         assert got[k] == exp[k], (seed, q, bins, k, got[k], exp[k])
+
+
+# --- round-5 text ops: DuckDB-parity under arbitrary text ---
+
+TEXTS = st.lists(
+    st.one_of(
+        st.none(),
+        st.text(alphabet="ab# … é9", min_size=0, max_size=24),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(TEXTS)
+@settings(max_examples=30, deadline=None)
+def test_gopher_filter_equals_duckdb_on_arbitrary_text(texts):
+    import duckdb
+    import pandas as pd
+
+    from log_formatter_ray.ops.textstats import gopher_quality_filter
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (
+        gopher_quality_filter(t, min_words=1, max_words=10,
+                              mwl2_lo=0, mwl2_hi=100, min_stop=0)
+        .select(["doc_id", "n_words", "content_chars", "n_stop",
+                 "n_alpha", "n_sym"])
+        .to_pandas()
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+                 CAST(length(text) - (len(string_split(text,' ')) - 1) AS BIGINT) AS content_chars,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> w IN ('the','a','and','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(string_split(text,' '),
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                 CAST(length(text) - length(replace(replace(text,'#',''),'…','')) AS BIGINT) AS n_sym
+          FROM documents
+        )
+        SELECT * FROM f
+        WHERE n_words BETWEEN 1 AND 10
+          AND 0*n_words <= 2*content_chars AND 2*content_chars <= 100*n_words
+          AND n_stop >= 0 AND 5*n_alpha >= 4*n_words AND 10*n_sym <= n_words
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+@given(st.lists(
+    st.text(alphabet="ab é ", min_size=0, max_size=20),
+    min_size=1, max_size=20,
+))
+@settings(max_examples=12, deadline=None)  # each example is a Ray run
+def test_global_line_dedup_equals_duckdb_on_arbitrary_text(texts):
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from log_formatter_ray.ops.linededup import global_line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    got = (
+        global_line_dedup(rd.from_arrow(t), sep=" ", coarse=7)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute("""
+        WITH exploded AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                 unnest(range(len(string_split(coalesce(text, ''), ' ')))) AS pos
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, pos, w,
+                 row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+          FROM exploded
+        )
+        SELECT doc_id,
+               string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        FROM ranked GROUP BY doc_id
+        HAVING count(*) FILTER (WHERE rn = 1) > 0
+        ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got, want)
