@@ -738,3 +738,39 @@ def _per_row_counts(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
             mask.astype(np.int64), off[:-1][nonempty]
         )
     return out
+
+
+def remap_tokens(
+    batch: pa.Table,
+    lut: np.ndarray,
+    tokens_col: str = "tokens",
+    out_col: str | None = None,
+) -> pa.Table:
+    """Translate every token id through a lookup table (``new_id =
+    lut[old_id]``) — tokenizer migration / vocab pruning / id
+    compaction.  One numpy gather over the flat value buffer per batch;
+    offsets are reused as-is (zero-copy list structure).  The LUT is a
+    plain int32 array the caller broadcasts once via ``ray.put`` in an
+    actor/closure — never rebuild it per batch.
+
+    Out-of-range ids raise (a LUT must cover the vocab; map unknowns to
+    an UNK id explicitly in the table)."""
+    tokens = batch[tokens_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
+    if flat.size and (flat.max() >= len(lut) or flat.min() < 0):
+        raise ValueError(
+            f"token id outside LUT range [0, {len(lut)}): "
+            f"[{flat.min()}, {flat.max()}]"
+        )
+    mapped = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), pa.int32()),
+        pa.array(np.asarray(lut, np.int32)[flat], pa.int32()),
+    )
+    name = out_col or tokens_col
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, mapped)

@@ -1507,6 +1507,46 @@ def q_minhash_clusters_sequences(sf_dir: str):
     )
 
 
+def q_remap_tokens_sequences(sf_dir: str):
+    """Vocabulary remap over the pretokenized corpus: translate every
+    token id through a broadcast LUT (tokenizer migration / vocab
+    compaction), verified by a POSITION-WEIGHTED checksum per row — the
+    LUT is arithmetic (``(id*2654435761) % V``) so DuckDB reproduces the
+    mapping inline and the compare is exact without shipping list
+    columns through the hash gate.  Oracle-backed but gate-invisible
+    (window full; ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.fixtures import VOCAB_SIZE
+    from log_formatter_ray.ops.tokens import remap_tokens
+
+    lut = (
+        (np.arange(VOCAB_SIZE, dtype=np.int64) * 2654435761) % VOCAB_SIZE
+    ).astype(np.int32)
+    lut_ref = ray.put(lut)
+
+    def stats(b: pa.Table) -> pa.Table:
+        out = remap_tokens(b.select(["doc_id", "tokens"]), ray.get(lut_ref))
+        toks = out["tokens"].combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        w = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(
+            off[:-1], counts) + 1
+        seg = np.zeros(len(counts), np.int64)
+        nonempty = counts > 0
+        if flat.size and nonempty.any():
+            seg[nonempty] = np.add.reduceat(w * flat, off[:-1][nonempty])
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_tok": pa.array(counts),
+            "tok_wsum": pa.array(seg),
+        })
+
+    return _sequences_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def q_span_corrupt_sequences(sf_dir: str):
     """T5 span corruption over the pretokenized corpus: mask ~15% of
     each sequence in mean-3 spans, emit (inputs, targets) denoising
@@ -1612,6 +1652,19 @@ SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
   FROM read_parquet('{seq_glob}')
   GROUP BY source, sink)
 GROUP BY sink, source
+""",
+        "remap_tokens_sequences": f"""
+WITH s AS (
+  SELECT doc_id,
+         SUM(i * ((CAST(t AS BIGINT) * 2654435761) % 50257)) AS ws
+  FROM (SELECT doc_id, unnest(tokens) AS t,
+               unnest(range(1, len(tokens) + 1)) AS i
+        FROM read_parquet('{seq_glob}'))
+  GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(len(r.tokens) AS BIGINT) AS n_tok,
+       CAST(COALESCE(s.ws, 0) AS BIGINT) AS tok_wsum
+FROM read_parquet('{seq_glob}') r LEFT JOIN s USING (doc_id)
 """,
         "pack_sequences_stats": f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
@@ -2360,6 +2413,7 @@ QUERIES = {
     "incdedup_documents": q_incdedup_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
+    "remap_tokens_sequences": q_remap_tokens_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

@@ -41,6 +41,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "line_dedup_documents",
     "stratified_sample_documents",
     "decontaminate_sequences",
+    "remap_tokens_sequences",
 }
 
 

@@ -302,3 +302,29 @@ def test_span_corrupt_spans_never_cross_rows():
         ) == base
     # distinct doc ids -> distinct PRN streams
     assert out["inputs"][0].as_py() != out["inputs"][1].as_py()
+
+
+def test_remap_tokens_gather_and_guards():
+    from log_formatter_ray.ops.tokens import remap_tokens
+
+    lut = np.arange(100, dtype=np.int32)[::-1].copy()  # id -> 99-id
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[0, 5, 99], [], [42]], pa.list_(pa.int32())),
+    })
+    out = remap_tokens(t, lut)
+    assert out["tokens"].to_pylist() == [[99, 94, 0], [], [57]]
+    # sliced batch maps the same rows
+    part = remap_tokens(t.slice(2, 1), lut)
+    assert part["tokens"].to_pylist() == [[57]]
+    # out-of-range id fails loudly
+    bad = pa.table({
+        "doc_id": pa.array(["x"]),
+        "tokens": pa.array([[100]], pa.list_(pa.int32())),
+    })
+    with pytest.raises(ValueError, match="outside LUT range"):
+        remap_tokens(bad, lut)
+    # out_col keeps the original column
+    both = remap_tokens(t, lut, out_col="tokens_new")
+    assert both["tokens"].to_pylist()[0] == [0, 5, 99]
+    assert both["tokens_new"].to_pylist()[0] == [99, 94, 0]
