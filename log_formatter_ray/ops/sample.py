@@ -300,3 +300,80 @@ def stratified_sample(ds, key_col: str, k: int, id_col: str = "doc_id",
     return partials.groupby(PART_COL).map_groups(
         finish, batch_format="pyarrow"
     )
+
+
+def token_budget_sample(ds, key_col: str, budget: int,
+                        size_col: str = "n_tok", id_col: str = "doc_id",
+                        columns: list[str] | None = None):
+    """Deterministic per-stratum sample by SIZE BUDGET instead of row
+    count — the data-mixing primitive ("200 B tokens of web, 50 B of
+    code"): each ``key_col`` group keeps its rows in ascending
+    ``(md5(id), id)`` order while the running ``size_col`` sum stays ≤
+    ``budget``.
+
+    The selection order is engine-neutral md5 (the
+    :func:`stratified_sample` contract), so any SQL system reproduces
+    the exact sample with ``SUM(size) OVER (PARTITION BY key ORDER BY
+    md5(id), id) <= budget`` — and because the running sum is monotone,
+    the kept set is a PREFIX, which makes the per-block pre-filter a
+    valid combiner: a row's block-local prefix sum never exceeds its
+    global prefix sum, so every global winner survives the local pass.
+    A hot stratum therefore ships O(budget/min_size) rows per block,
+    never its row count.  One coarse keyed shuffle of the (narrow)
+    survivors finishes the selection.
+    """
+    import pyarrow.compute as pc
+
+    from log_formatter_ray.ops._shuffle import PART_COL, hash_part
+    from log_formatter_ray.ops.textstats import add_fingerprint_md5
+
+    keep = list(dict.fromkeys(
+        [key_col, id_col, size_col]
+        + (columns or [c for c in ds.schema().names])
+    ))
+    coarse = 256
+
+    def per_key_budget(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"), ("_rank", "ascending"),
+                          (id_col, "ascending")]
+        )
+        t = t.take(idx)
+        keys = t[key_col].combine_chunks()
+        same = np.zeros(len(t), dtype=bool)
+        if len(t) > 1:
+            same[1:] = np.asarray(
+                pc.equal(keys.slice(1), keys.slice(0, len(t) - 1))
+            )
+        sizes = pc.cast(t[size_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        c = np.cumsum(sizes)
+        run_start = np.maximum.accumulate(
+            np.where(~same, np.arange(len(t)), 0)
+        )
+        base = (c - sizes)[run_start]  # prefix sum before each key run
+        return t.filter(pa.array(c - base <= budget))
+
+    def rank_and_combine(batch: pa.Table) -> pa.Table:
+        batch = batch.select([c for c in keep if c in batch.column_names])
+        ids = pc.cast(batch[id_col], pa.string())
+        tmp = add_fingerprint_md5(pa.table({"text": ids}), out_col="_rank")
+        batch = batch.append_column("_rank", tmp["_rank"])
+        batch = per_key_budget(batch)
+        kb = pc.cast(batch[key_col], pa.string()).combine_chunks()
+        return batch.append_column(
+            PART_COL,
+            pa.array(hash_part(kb.to_numpy(zero_copy_only=False), coarse)),
+        )
+
+    def finish(group: pa.Table) -> pa.Table:
+        return per_key_budget(group).drop_columns(["_rank", PART_COL])
+
+    partials = ds.map_batches(
+        rank_and_combine, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    return partials.groupby(PART_COL).map_groups(
+        finish, batch_format="pyarrow"
+    )

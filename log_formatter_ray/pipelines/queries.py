@@ -1507,6 +1507,22 @@ def q_minhash_clusters_sequences(sf_dir: str):
     )
 
 
+def q_token_budget_sample_sequences(sf_dir: str):
+    """Data-mixing by TOKEN BUDGET: each source keeps its md5-ordered
+    prefix of sequences while the running n_tok sum stays ≤ 100k — the
+    "N tokens of web, M of code" mixture primitive.  Engine-neutral md5
+    order → the DuckDB window-SUM oracle reproduces the identical rows.
+    Oracle-backed but gate-invisible (window full;
+    ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.ops.sample import token_budget_sample
+
+    ds = _sequences_ds(sf_dir).map_batches(
+        lambda b: b.select(["doc_id", "source", "n_tok"]),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+    return token_budget_sample(ds, "source", 100_000)
+
+
 def q_remap_tokens_sequences(sf_dir: str):
     """Vocabulary remap over the pretokenized corpus: translate every
     token id through a broadcast LUT (tokenizer migration / vocab
@@ -1652,6 +1668,15 @@ SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
   FROM read_parquet('{seq_glob}')
   GROUP BY source, sink)
 GROUP BY sink, source
+""",
+        "token_budget_sample_sequences": f"""
+SELECT doc_id, source, n_tok FROM (
+  SELECT doc_id, source, n_tok,
+         SUM(CAST(n_tok AS BIGINT)) OVER (
+           PARTITION BY source ORDER BY md5(doc_id), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM read_parquet('{seq_glob}'))
+WHERE c <= 100000
 """,
         "remap_tokens_sequences": f"""
 WITH s AS (
@@ -2414,6 +2439,7 @@ QUERIES = {
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
     "remap_tokens_sequences": q_remap_tokens_sequences,
+    "token_budget_sample_sequences": q_token_budget_sample_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

@@ -42,6 +42,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "stratified_sample_documents",
     "decontaminate_sequences",
     "remap_tokens_sequences",
+    "token_budget_sample_sequences",
 }
 
 

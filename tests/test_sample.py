@@ -1,6 +1,7 @@
 """Deterministic hash-based sampling / splitting."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -193,3 +194,56 @@ def test_stratified_sample_matches_md5_oracle_and_is_layout_invariant():
         rd.from_arrow(t).repartition(3), "lang", k=2, columns=["lang"]
     ).to_pandas()
     assert set(slim.columns) == {"lang", "doc_id"}
+
+
+def test_token_budget_sample_matches_duckdb_window_oracle():
+    """Per-key md5-ordered prefix under a running-size budget equals the
+    SQL window formulation, at any parallelism (combiner validity)."""
+    import duckdb
+
+    rng = np.random.default_rng(14)
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:05d}" for i in range(n)]),
+        "source": pa.array(rng.choice(["web", "code", "wiki"], n)),
+        "n_tok": pa.array(rng.integers(1, 50, n).astype(np.int32)),
+    })
+    from log_formatter_ray.ops.sample import token_budget_sample
+
+    con = duckdb.connect()
+    con.register("seqs", t.to_pandas())
+    want = con.execute("""
+        SELECT doc_id, source, n_tok FROM (
+          SELECT doc_id, source, n_tok,
+                 SUM(CAST(n_tok AS BIGINT)) OVER (
+                   PARTITION BY source ORDER BY md5(doc_id), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+          FROM seqs)
+        WHERE c <= 300 ORDER BY doc_id
+    """).df()
+    for parts in (1, 7):
+        got = (
+            token_budget_sample(
+                rd.from_arrow(t).repartition(parts), "source", 300
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        got["n_tok"] = got["n_tok"].astype(want["n_tok"].dtype)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_token_budget_sample_prefix_property():
+    """Within each key, kept rows are exactly the maximal md5-order
+    prefix whose cumulative size fits the budget."""
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d"]),
+        "source": pa.array(["s", "s", "s", "s"]),
+        "n_tok": pa.array([10, 10, 10, 10], pa.int32()),
+    })
+    from log_formatter_ray.ops.sample import token_budget_sample
+
+    got = token_budget_sample(rd.from_arrow(t), "source", 25).to_pandas()
+    assert len(got) == 2  # 10+10 fits, third row would exceed 25
+    # budget below the smallest row -> empty, never a partial row
+    empty = token_budget_sample(rd.from_arrow(t), "source", 5).to_pandas()
+    assert len(empty) == 0
