@@ -228,3 +228,52 @@ def global_line_dedup(
     return unioned.groupby(PART_COL).map_groups(
         apply_part, batch_format="pyarrow"
     )
+
+
+def dedup_lines_within(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id", sep: str = "\n",
+                       drop_empty: bool = False) -> pa.Table:
+    """WITHIN-document duplicate-line removal — each document keeps only
+    the first occurrence of each of its own lines (the in-doc half of
+    the dedup pair; :func:`global_line_dedup` is the corpus-wide one).  Pure per-batch map: one split, one lexsort over
+    (row, h1, h2), positions of non-first copies masked, text rebuilt
+    with ``binary_join`` — NO shuffle, no state.  Same 128-bit line
+    identity as the global op.
+
+    Output: (id_col, text_col, n_removed).  ``drop_empty=False`` default
+    (a doc always keeps ≥ 1 line of itself unless it had none)."""
+    from log_formatter_ray.ops.dedup import _stable_hash64
+    from log_formatter_ray.ops.textstats import _per_row_sum
+
+    flat, off = _split_lines(batch[text_col], sep)
+    n = len(batch)
+    counts = np.diff(off)
+    row = np.repeat(np.arange(n, dtype=np.int64), counts)
+    vals = flat.to_numpy(zero_copy_only=False)
+    h1 = _stable_hash64(vals)
+    h2 = pd.util.hash_array(
+        np.asarray(vals, dtype=object), categorize=False, hash_key=_H2_KEY
+    ).astype(np.uint64)
+
+    pos = np.arange(int(off[-1]), dtype=np.int64)
+    order = np.lexsort((pos, h2, h1, row))
+    r, a, b = row[order], h1[order], h2[order]
+    dup_sorted = np.zeros(len(order), dtype=bool)
+    dup_sorted[1:] = (r[1:] == r[:-1]) & (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+    keep = np.ones(int(off[-1]), dtype=bool)
+    keep[order] = ~dup_sorted
+
+    kept_counts = _per_row_sum(keep.astype(np.int64), off)
+    new_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=new_off[1:])
+    kept_lists = pa.LargeListArray.from_arrays(
+        pa.array(new_off, pa.int64()), flat.filter(pa.array(keep))
+    )
+    out = pa.table({
+        id_col: batch[id_col].combine_chunks(),
+        text_col: pc.binary_join(kept_lists, sep),
+        "n_removed": pa.array(counts - kept_counts),
+    })
+    if drop_empty:
+        out = out.filter(pa.array(kept_counts > 0))
+    return out

@@ -2014,6 +2014,39 @@ HAVING count(*) FILTER (WHERE rn = 1) > 0
 """
 
 
+def q_dedup_lines_within_documents(sf_dir: str):
+    """Within-document duplicate-line removal (the in-doc half of the
+    line-dedup pair; word granularity on this single-line corpus): pure
+    per-batch map, no shuffle, no state.  Oracle-backed but
+    gate-invisible (window full; ``tools/check_oracle.py`` verifies
+    it)."""
+    from log_formatter_ray.ops.linededup import dedup_lines_within
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: dedup_lines_within(b, sep=" "),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    )
+
+
+_SQL_DEDUP_LINES_WITHIN_DOCUMENTS = """
+WITH exploded AS (
+  SELECT doc_id,
+         unnest(string_split(coalesce(text, ''), ' ')) AS w,
+         unnest(range(len(string_split(coalesce(text, ''), ' ')))) AS pos
+  FROM documents
+), ranked AS (
+  SELECT doc_id, pos, w,
+         row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS rn
+  FROM exploded
+)
+SELECT doc_id,
+       string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
 def q_incdedup_documents(sf_dir: str):
     """Incremental dedup against a persisted index: build the
     hash-partitioned (h1,h2) index from the ``doc_id%5==0`` slice (the
@@ -2436,6 +2469,7 @@ QUERIES = {
     "gopher_filter_documents": q_gopher_filter_documents,
     "line_dedup_documents": q_line_dedup_documents,
     "incdedup_documents": q_incdedup_documents,
+    "dedup_lines_within_documents": q_dedup_lines_within_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
     "remap_tokens_sequences": q_remap_tokens_sequences,
@@ -2520,6 +2554,7 @@ ORACLE_SQL = {
     "gopher_filter_documents": _SQL_GOPHER_FILTER_DOCUMENTS,
     "line_dedup_documents": _SQL_LINE_DEDUP_DOCUMENTS,
     "incdedup_documents": _SQL_INCDEDUP_DOCUMENTS,
+    "dedup_lines_within_documents": _SQL_DEDUP_LINES_WITHIN_DOCUMENTS,
     "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,

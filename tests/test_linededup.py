@@ -150,3 +150,49 @@ def test_global_line_dedup_string_ids():
     )
     assert out["doc_id"].tolist() == ["a", "b"]
     assert out["text"].tolist() == ["dup\ny", "x"]
+
+
+def test_dedup_lines_within_keeps_first_per_doc():
+    from log_formatter_ray.ops.linededup import dedup_lines_within
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a\nb\na\nb\nc", "x\nx\nx", "u\nv"], pa.string()),
+    })
+    out = dedup_lines_within(t)
+    assert out["text"].to_pylist() == ["a\nb\nc", "x", "u\nv"]
+    assert out["n_removed"].to_pylist() == [2, 2, 0]
+    # sliced batch behaves identically
+    part = dedup_lines_within(t.slice(1, 2))
+    assert part["text"].to_pylist() == ["x", "u\nv"]
+
+
+def test_dedup_lines_within_matches_duckdb():
+    import duckdb
+
+    from log_formatter_ray.ops.linededup import dedup_lines_within
+
+    t = _random_word_corpus(n=250, vocab=12, seed=21)
+    got = dedup_lines_within(t, sep=" ").to_pandas()
+    con = duckdb.connect()
+    con.register("documents", t.to_pandas())
+    want = con.execute("""
+        WITH exploded AS (
+          SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                 unnest(range(len(string_split(coalesce(text, ''), ' ')))) AS pos
+          FROM documents
+        ), ranked AS (
+          SELECT doc_id, pos, w,
+                 row_number() OVER (PARTITION BY doc_id, w
+                                    ORDER BY pos) AS rn
+          FROM exploded
+        )
+        SELECT doc_id,
+               string_agg(w, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS text,
+               CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True), want
+    )

@@ -38,6 +38,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "dup_line_documents",
     "gopher_filter_documents",
     "incdedup_documents",
+    "dedup_lines_within_documents",
     "line_dedup_documents",
     "stratified_sample_documents",
     "decontaminate_sequences",
