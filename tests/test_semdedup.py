@@ -126,3 +126,25 @@ def test_semdedup_no_dups_is_empty():
         rd.from_arrow(t), n_clusters=3, threshold=0.99
     ).to_pandas()
     assert len(got) == 0
+
+
+def test_semdedup_partitioned_matches_shuffled(tmp_path):
+    """The at-rest (zero-shuffle) plan equals the shuffled plan when both
+    share one fitted index."""
+    from log_formatter_ray.ops.semdedup import semdedup_clusters_partitioned
+
+    t, _ = _corpus(seed=17)
+    ds = rd.from_arrow(t)
+    idx = IVFIndex(n_clusters=4, seed=42).fit(ds)
+    base = semdedup_clusters(
+        ds, n_clusters=4, threshold=0.95, coarse=8, index=idx
+    ).to_pandas()
+    layout = str(tmp_path / "ivf")
+    idx.write_partitioned(ds, layout)
+    part = semdedup_clusters_partitioned(
+        layout, threshold=0.95
+    ).to_pandas()
+    assert sorted(zip(part["id"], part["rep"])) == sorted(
+        zip(base["id"], base["rep"])
+    )
+    assert len(base) >= 10
