@@ -774,3 +774,70 @@ def remap_tokens(
     if name in batch.column_names:
         batch = batch.drop_columns([name])
     return batch.append_column(name, mapped)
+
+
+def bpe_pair_counts(ds, tokens_col: str = "tokens", k: int = 20,
+                    coarse: int = 128, key_space: int = 1 << 17):
+    """Top-``k`` adjacent token-id pairs across the corpus — the merge
+    candidate selection at the heart of BPE training (one round), and a
+    bigram-statistics primitive in its own right.
+
+    Plan: per block, pairs fold into a single int64 key
+    (``a*key_space + b`` — loud guard if ids don't fit), one
+    ``np.unique`` partial per block (pairs never cross row boundaries),
+    then a coarse hash(key) shuffle of the (key, n) partials.  A pair's
+    total count lives entirely in one partition, so per-partition
+    top-``k`` followed by a global top-``k`` over ≤ coarse×k survivors
+    is exact.  Output (a, b, n) ordered by (n desc, a, b)."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = batch[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if flat.size and flat.max() >= key_space:
+            raise ValueError(f"token id >= key_space={key_space}")
+        if flat.size < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "part": pa.array([], pa.int32())})
+        key = flat[:-1] * key_space + flat[1:]
+        valid = np.ones(key.size, dtype=bool)
+        cross = off[1:-1] - 1
+        cross = cross[(cross >= 0) & (cross < key.size)]
+        valid[cross] = False
+        u, c = np.unique(key[valid], return_counts=True)
+        return pa.table({
+            "key": pa.array(u),
+            "n": pa.array(c.astype(np.int64)),
+            "part": pa.array(
+                (u.astype(np.uint64) % np.uint64(coarse)).astype(np.int32)
+            ),
+        })
+
+    def topk_part(group: pa.Table) -> pa.Table:
+        keys = group["key"].to_numpy(zero_copy_only=False)
+        ns = group["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks, vs = keys[order], ns[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        totals = np.add.reduceat(vs, starts)
+        uk = ks[starts]
+        top = np.lexsort((uk, -totals))[:k]
+        return pa.table({
+            "a": pa.array(uk[top] // key_space),
+            "b": pa.array(uk[top] % key_space),
+            "n": pa.array(totals[top]),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(topk_part, batch_format="pyarrow")
+        .sort(["n", "a", "b"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -1507,6 +1507,23 @@ def q_minhash_clusters_sequences(sf_dir: str):
     )
 
 
+def q_bpe_pair_counts_sequences(sf_dir: str):
+    """Top-20 adjacent token pairs across the corpus — one BPE merge
+    round / bigram statistics: per-block unique partials, coarse
+    hash(pair) shuffle of (key, n) rows only, exact per-partition then
+    global top-k.  Oracle-backed but gate-invisible (window full;
+    ``tools/check_oracle.py`` verifies it)."""
+    from log_formatter_ray.ops.tokens import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _sequences_ds(sf_dir).map_batches(
+            lambda b: b.select(["tokens"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        ),
+        k=20,
+    )
+
+
 def q_token_budget_sample_sequences(sf_dir: str):
     """Data-mixing by TOKEN BUDGET: each source keeps its md5-ordered
     prefix of sequences while the running n_tok sum stays ≤ 100k — the
@@ -1668,6 +1685,15 @@ SELECT sink, source, CAST(SUM(n) AS BIGINT) AS n FROM (
   FROM read_parquet('{seq_glob}')
   GROUP BY source, sink)
 GROUP BY sink, source
+""",
+        "bpe_pair_counts_sequences": f"""
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(tokens[1:len(tokens)-1]) AS a,
+         unnest(tokens[2:len(tokens)]) AS b
+  FROM read_parquet('{seq_glob}') WHERE len(tokens) >= 2)
+GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20
 """,
         "token_budget_sample_sequences": f"""
 SELECT doc_id, source, n_tok FROM (
@@ -2474,6 +2500,7 @@ QUERIES = {
     "decontaminate_sequences": q_decontaminate_sequences,
     "remap_tokens_sequences": q_remap_tokens_sequences,
     "token_budget_sample_sequences": q_token_budget_sample_sequences,
+    "bpe_pair_counts_sequences": q_bpe_pair_counts_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

@@ -44,6 +44,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "decontaminate_sequences",
     "remap_tokens_sequences",
     "token_budget_sample_sequences",
+    "bpe_pair_counts_sequences",
 }
 
 

@@ -328,3 +328,27 @@ def test_remap_tokens_gather_and_guards():
     both = remap_tokens(t, lut, out_col="tokens_new")
     assert both["tokens"].to_pylist()[0] == [0, 5, 99]
     assert both["tokens_new"].to_pylist()[0] == [99, 94, 0]
+
+
+def test_bpe_pair_counts_matches_brute_force():
+    from log_formatter_ray.ops.tokens import bpe_pair_counts
+
+    rng = np.random.default_rng(19)
+    rows = [rng.integers(0, 30, size=rng.integers(0, 40)).tolist()
+            for _ in range(200)]
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "tokens": pa.array(rows, pa.list_(pa.int32())),
+    })
+    import collections
+    brute = collections.Counter()
+    for r in rows:
+        for x, y in zip(r, r[1:]):
+            brute[(x, y)] += 1
+    want = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    for parts in (1, 6):
+        got = bpe_pair_counts(
+            rd.from_arrow(t).repartition(parts), k=15, coarse=7
+        ).to_pandas()
+        assert [((a, b), n) for a, b, n in
+                zip(got["a"], got["b"], got["n"])] == want
