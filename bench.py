@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "semdedup_embeddings",
     "dsir_select_documents",
     "span_corrupt_sequences",
+    "curate_corpus_pipeline",
+    "incdedup_documents",
+    "token_budget_sample_sequences",
+    "bpe_pair_counts_sequences",
 ]
 
 

@@ -841,3 +841,67 @@ def bpe_pair_counts(ds, tokens_col: str = "tokens", k: int = 20,
         .sort(["n", "a", "b"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def add_pack_masks(
+    batch: pa.Table,
+    context_len: int = 2048,
+    pad_id: int = 0,
+) -> pa.Table:
+    """Turn packed contexts (:func:`pack_sequences` output) into
+    model-ready fixed-length arrays: right-padded ``input_ids``
+    (``fixed_size_list<int32>[context_len]``), a per-token ``doc_index``
+    (which member sequence each position belongs to; ``-1`` on padding
+    — the standard block-diagonal attention mask key for packed
+    training), and ``loss_mask`` (1 on real tokens, 0 on padding).
+
+    Vectorized from the ``boundaries`` column alone: one ``np.repeat``
+    over boundary run lengths per batch, one buffer fill — no per-row
+    Python.  Output rows stay aligned with the input packs."""
+    toks = batch["tokens"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    counts = np.diff(off)
+    if np.any(counts > context_len):
+        raise ValueError("a pack exceeds context_len; re-pack first")
+
+    bounds = batch["boundaries"]
+    if isinstance(bounds, pa.ChunkedArray):
+        bounds = bounds.combine_chunks()
+    b_off = bounds.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    b_off = b_off - b_off[0]
+    b_flat = bounds.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+
+    ids = np.full(n * context_len, pad_id, dtype=np.int32)
+    doc_index = np.full(n * context_len, -1, dtype=np.int32)
+    # member run lengths: boundaries are cumulative WITHIN each pack
+    prev = np.roll(b_flat, 1)
+    prev[b_off[:-1]] = 0  # first boundary of each pack starts at 0
+    run_lens = b_flat - prev
+    member_ord = (
+        np.arange(b_flat.size, dtype=np.int64)
+        - np.repeat(b_off[:-1], np.diff(b_off))
+    )
+    # destination of each real token in the padded matrix
+    row_of_tok = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos_in_row = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(
+        off[:-1], counts
+    )
+    dest = row_of_tok * context_len + pos_in_row
+    ids[dest] = flat
+    doc_index[dest] = np.repeat(member_ord, run_lens).astype(np.int32)
+
+    def _fsl(values: np.ndarray, typ) -> pa.FixedSizeListArray:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(values, typ), context_len
+        )
+
+    batch = batch.append_column("input_ids", _fsl(ids, pa.int32()))
+    batch = batch.append_column("doc_index", _fsl(doc_index, pa.int32()))
+    return batch.append_column(
+        "loss_mask", _fsl((doc_index >= 0).astype(np.int8), pa.int8())
+    )

@@ -1507,6 +1507,43 @@ def q_minhash_clusters_sequences(sf_dir: str):
     )
 
 
+def q_pack_masks_sequences(sf_dir: str):
+    """Model-ready packed batches end to end: chunk → pack → fixed-length
+    ``input_ids`` / block-diagonal ``doc_index`` / ``loss_mask`` arrays,
+    reduced to corpus totals (padding efficiency check: real vs pad
+    tokens).  Not SQL-expressible → rows-only; the mask layout is pinned
+    exactly in tests/test_tokens.py."""
+    from log_formatter_ray.ops.tokens import (
+        add_pack_masks,
+        chunk_sequences,
+        pack_sequences,
+    )
+
+    def stage(b: pa.Table) -> pa.Table:
+        packed = pack_sequences(
+            chunk_sequences(b.select(["doc_id", "tokens"]), max_len=512),
+            context_len=2048,
+        )
+        out = add_pack_masks(packed, context_len=2048)
+        lm = out["loss_mask"].combine_chunks()
+        real = np.asarray(lm.flatten()).sum()
+        return pa.table({
+            "n_packs": pa.array([len(out)], pa.int64()),
+            "real_tokens": pa.array([int(real)], pa.int64()),
+            "pad_tokens": pa.array(
+                [int(len(out) * 2048 - real)], pa.int64()),
+        })
+
+    partials = _sequences_ds(sf_dir).map_batches(
+        stage, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    totals = partials.sum(["n_packs", "real_tokens", "pad_tokens"])
+    return pa.table({
+        k: pa.array([int(totals[f"sum({k})"])], pa.int64())
+        for k in ("n_packs", "real_tokens", "pad_tokens")
+    })
+
+
 def q_bpe_pair_counts_sequences(sf_dir: str):
     """Top-20 adjacent token pairs across the corpus — one BPE merge
     round / bigram statistics: per-block unique partials, coarse
@@ -2501,6 +2538,7 @@ QUERIES = {
     "remap_tokens_sequences": q_remap_tokens_sequences,
     "token_budget_sample_sequences": q_token_budget_sample_sequences,
     "bpe_pair_counts_sequences": q_bpe_pair_counts_sequences,
+    "pack_masks_sequences": q_pack_masks_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

@@ -352,3 +352,26 @@ def test_bpe_pair_counts_matches_brute_force():
         ).to_pandas()
         assert [((a, b), n) for a, b, n in
                 zip(got["a"], got["b"], got["n"])] == want
+
+
+def test_add_pack_masks_block_diagonal_layout():
+    from log_formatter_ray.ops.tokens import add_pack_masks, pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"]),
+        "tokens": pa.array([[1, 2, 3], [4, 5], [6]], pa.list_(pa.int32())),
+    })
+    packed = pack_sequences(t, context_len=4)
+    out = add_pack_masks(packed, context_len=4, pad_id=0)
+    ids = out["input_ids"].to_pylist()
+    didx = out["doc_index"].to_pylist()
+    lm = out["loss_mask"].to_pylist()
+    assert ids == [[1, 2, 3, 6], [4, 5, 0, 0]]
+    assert didx == [[0, 0, 0, 1], [0, 0, -1, -1]]
+    assert lm == [[1, 1, 1, 1], [1, 1, 0, 0]]
+    # sliced batches behave identically
+    part = add_pack_masks(packed.slice(1, 1), context_len=4)
+    assert part["doc_index"].to_pylist() == [[0, 0, -1, -1]]
+    # overlong pack fails loudly
+    with pytest.raises(ValueError, match="context_len"):
+        add_pack_masks(packed, context_len=3)
