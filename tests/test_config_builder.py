@@ -176,3 +176,11 @@ output:
         assert "output" in cfg and "pipeline" in cfg
     finally:
         srv.shutdown()
+
+
+def test_module_entrypoint_usage_and_import():
+    """python -m log_formatter_ray is the ray-job-submit surface; bad
+    argv returns usage (the e2e run is driven in /verify and above)."""
+    from log_formatter_ray.__main__ import main
+
+    assert main([]) == 2
