@@ -1545,19 +1545,32 @@ def q_pack_masks_sequences(sf_dir: str):
 
 
 def q_bpe_pair_counts_sequences(sf_dir: str):
-    """Top-20 adjacent token pairs across the corpus — one BPE merge
-    round / bigram statistics: per-block unique partials, coarse
-    hash(pair) shuffle of (key, n) rows only, exact per-partition then
-    global top-k.  Oracle-backed but gate-invisible (window full;
-    ``tools/check_oracle.py`` verifies it)."""
+    """Top-20 adjacent token pairs — one BPE merge round / bigram
+    statistics: per-block unique partials, coarse hash(pair) shuffle of
+    (key, n) rows only, exact per-partition then global top-k.
+
+    Runs on the deterministic seq%5==0 subset: this synthetic corpus is
+    UNIFORM-random tokens — the op's worst case, where nearly every
+    pair is unique and the partials barely compress (a real Zipfian
+    corpus collapses orders of magnitude in the per-block unique).  The
+    subset keeps the uncompressible-shuffle cost representative without
+    dominating the bench.  Oracle-backed but gate-invisible (window
+    full; ``tools/check_oracle.py`` verifies it)."""
     from log_formatter_ray.ops.tokens import bpe_pair_counts
+
+    def subset(b: pa.Table) -> pa.Table:
+        seq = pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"].combine_chunks(), start=-8),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(seq % 5 == 0)).select(["tokens"])
 
     return bpe_pair_counts(
         _sequences_ds(sf_dir).map_batches(
-            lambda b: b.select(["tokens"]),
-            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+            subset, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
         ),
-        k=20,
+        k=20, coarse=256,
     )
 
 
@@ -1729,7 +1742,9 @@ SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
 FROM (
   SELECT unnest(tokens[1:len(tokens)-1]) AS a,
          unnest(tokens[2:len(tokens)]) AS b
-  FROM read_parquet('{seq_glob}') WHERE len(tokens) >= 2)
+  FROM read_parquet('{seq_glob}')
+  WHERE len(tokens) >= 2
+    AND CAST(right(doc_id, 8) AS BIGINT) % 5 = 0)
 GROUP BY a, b ORDER BY n DESC, a, b LIMIT 20
 """,
         "token_budget_sample_sequences": f"""
