@@ -638,29 +638,36 @@ def span_corrupt_sequences(
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
 
-    # per-position PRN: splitmix64(hash(doc_id) + golden*(pos_in_row+1+seed)).
-    # pos_in_row = global_idx - row_start, so the row_start*golden term
-    # folds into a per-row constant and the pos array is never built —
-    # values are IDENTICAL to the explicit form (layout/slice-invariant)
+    # per-position PRN in UINT32: numpy's uint64 multiply has no SIMD
+    # path (measured 15-25× slower than uint32 on this exact pass), and
+    # this is the op's hottest loop.  pos_in_row = global_idx - row_start
+    # folds into a per-row constant (mod-2^32 wraparound is part of the
+    # identity), so the position array is never built and the stream is
+    # one repeat + one arange-multiply + an xxhash-style avalanche —
+    # still a pure function of (hash(doc_id), pos_in_row, seed):
+    # layout/slice-invariant, pinned by test.
     r = _stable_hash64(ids.to_numpy(zero_copy_only=False))
-    per_row = r + (np.uint64(1 + seed) - off[:-1].astype(np.uint64)) * _GOLDEN64
-    h = np.repeat(per_row, counts) + np.arange(total, dtype=np.uint64) * _GOLDEN64
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(29)
+    r32 = ((r >> np.uint64(32)) ^ r).astype(np.uint32)
+    G32 = np.uint32(2654435761)
+    per_row = r32 + (
+        np.uint32(1 + seed) - off[:-1].astype(np.uint32)
+    ) * G32
+    h = np.repeat(per_row, counts) + np.arange(total, dtype=np.uint32) * G32
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(2246822519)
+    h ^= h >> np.uint32(13)
 
     p_start = noise_density / mean_span
-    is_start = (h & np.uint64(0xFFFFFFFF)) < np.uint64(
-        int(p_start * (1 << 32))
-    )
+    is_start = h < np.uint32(int(p_start * (1 << 32)))
 
     # union of spans via +1/-1 deltas cumsummed along the flat stream;
     # the -1 lands at min(start+len, row_end) so spans clip at row ends.
-    # span lengths only materialize AT start positions (sparse)
+    # span lengths only materialize AT start positions (sparse) from a
+    # second avalanche round so they are independent of the start bits
     starts = np.flatnonzero(is_start)
-    span_len = 1 + (
-        (h[starts] >> np.uint64(33)) % np.uint64(2 * mean_span - 1)
-    ).astype(np.int64)
+    hs = h[starts] * np.uint32(3266489917)
+    hs ^= hs >> np.uint32(15)
+    span_len = 1 + (hs % np.uint32(2 * mean_span - 1)).astype(np.int64)
     row_end = np.repeat(off[1:], counts)
     ends = np.minimum(starts + span_len, row_end[starts])
     delta = np.bincount(starts, minlength=total + 1) - np.bincount(
