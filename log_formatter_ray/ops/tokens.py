@@ -622,7 +622,7 @@ def span_corrupt_sequences(
 
     Output: (id_col, inputs: list<int32>, targets: list<int32>).
     """
-    from log_formatter_ray.ops.dedup import _GOLDEN64, _stable_hash64
+    from log_formatter_ray.ops.dedup import _stable_hash64
 
     tokens = batch[tokens_col]
     if isinstance(tokens, pa.ChunkedArray):
