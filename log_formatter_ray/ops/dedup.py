@@ -1522,3 +1522,93 @@ def embedding_dup_pairs(
     from ray.data.aggregate import Max
 
     return cand.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+
+
+def dup_overlap_matrix(ds, text_col: str = "text", id_col: str = "doc_id",
+                       key_col: str = "source", coarse: int = 256):
+    """Duplication-structure report: for every (key_a, key_b) pair of
+    ``key_col`` values (e.g. sources/dumps/snapshots), how many exact
+    duplicate PAIRS exist between them — the overlap matrix a curation
+    team reads before deciding source precedence (equivalent SQL: self
+    join on ``text_col`` with ``a.id < b.id``, grouped by the unordered
+    source pair).
+
+    Plan: the payload-light hash pass ships (h1, h2, id? no — key)
+    rows only; one coarse hash(h1) shuffle; inside each partition dup
+    groups are found by one sort, and each group contributes
+    ``n_i*n_j`` cross pairs / ``C(n_s,2)`` within pairs from its
+    per-key counts (a short Python loop over DUP GROUPS only — sparse
+    relative to the corpus by the dedup assumption); a tiny final
+    groupby sums the per-partition matrices."""
+    import pyarrow.compute as _pc
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        vals = batch[text_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        h1 = _stable_hash64(vals)
+        h2 = pd.util.hash_array(
+            np.asarray(vals, dtype=object), categorize=False,
+            hash_key="lfr-second-hash!",
+        ).astype(np.uint64)
+        return pa.table({
+            "_h1": pa.array(h1.astype(np.int64)),
+            "_h2": pa.array(h2.astype(np.int64)),
+            "_key": _pc.cast(batch[key_col].combine_chunks(), pa.string()),
+            "_part": pa.array((h1 % np.uint64(coarse)).astype(np.int32)),
+        })
+
+    def partials(group: pa.Table) -> pa.Table:
+        order = _pc.sort_indices(
+            group, sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
+                              ("_key", "ascending")]
+        )
+        g = group.take(order)
+        a = g["_h1"].to_numpy(zero_copy_only=False)
+        b = g["_h2"].to_numpy(zero_copy_only=False)
+        k = g["_key"].to_numpy(zero_copy_only=False)
+        n = len(g)
+        new_grp = np.ones(n, bool)
+        new_grp[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        bounds = np.append(np.flatnonzero(new_grp), n)
+        out: dict[tuple[str, str], int] = {}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            keys, cnts = np.unique(k[s:e], return_counts=True)
+            for i in range(len(keys)):
+                if cnts[i] > 1:
+                    key = (keys[i], keys[i])
+                    out[key] = out.get(key, 0) + int(
+                        cnts[i] * (cnts[i] - 1) // 2)
+                for j in range(i + 1, len(keys)):
+                    key = (keys[i], keys[j])
+                    out[key] = out.get(key, 0) + int(cnts[i] * cnts[j])
+        if not out:
+            return pa.table({
+                "src_a": pa.array([], pa.string()),
+                "src_b": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            })
+        ka, kb = zip(*out)
+        return pa.table({
+            "src_a": pa.array(list(ka), pa.string()),
+            "src_b": pa.array(list(kb), pa.string()),
+            "n_pairs": pa.array(list(out.values()), pa.int64()),
+        })
+
+    hashed = ds.map_batches(
+        hash_only, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    parts = hashed.groupby("_part").map_groups(
+        partials, batch_format="pyarrow"
+    )
+    return (
+        parts.groupby(["src_a", "src_b"])
+        .sum("n_pairs")
+        .map_batches(
+            lambda t: t.rename_columns(["src_a", "src_b", "n_pairs"]),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .sort(["src_a", "src_b"])
+    )

@@ -2092,6 +2092,51 @@ HAVING count(*) FILTER (WHERE rn = 1) > 0
 """
 
 
+def q_dup_overlap_documents(sf_dir: str):
+    """Cross-source duplication structure: exact-duplicate PAIR counts
+    per unordered source pair — what a curation team reads before
+    choosing source precedence.  The corpus has no natural exact dups,
+    so deterministic CLONES are unioned in-pipeline (every doc_id%10==0
+    row re-tagged source='clone', id offset 10**5) — the SQL oracle
+    performs the identical union and self-join.  Oracle-backed but
+    gate-invisible (window full; ``tools/check_oracle.py`` verifies
+    it)."""
+    from log_formatter_ray.ops.dedup import dup_overlap_matrix
+
+    ds = _tbl(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def clones(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sel = ids % 10 == 0
+        return pa.table({
+            "doc_id": pa.array(ids + 100_000),
+            "text": b["text"].combine_chunks(),
+            "source": pa.array(np.full(len(b), "clone", dtype=object),
+                               pa.string()),
+        }).filter(pa.array(sel))
+
+    aug = ds.union(ds.map_batches(
+        clones, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ))
+    return dup_overlap_matrix(aug, coarse=_adaptive_coarse(sf_dir))
+
+
+_SQL_DUP_OVERLAP_DOCUMENTS = """
+WITH aug AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, 'clone' FROM documents
+  WHERE doc_id % 10 = 0
+)
+SELECT least(a.source, b.source) AS src_a,
+       greatest(a.source, b.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_lines_within_documents(sf_dir: str):
     """Within-document duplicate-line removal (the in-doc half of the
     line-dedup pair; word granularity on this single-line corpus): pure
@@ -2548,6 +2593,7 @@ QUERIES = {
     "line_dedup_documents": q_line_dedup_documents,
     "incdedup_documents": q_incdedup_documents,
     "dedup_lines_within_documents": q_dedup_lines_within_documents,
+    "dup_overlap_documents": q_dup_overlap_documents,
     "stratified_sample_documents": q_stratified_sample_documents,
     "decontaminate_sequences": q_decontaminate_sequences,
     "remap_tokens_sequences": q_remap_tokens_sequences,
@@ -2635,6 +2681,7 @@ ORACLE_SQL = {
     "line_dedup_documents": _SQL_LINE_DEDUP_DOCUMENTS,
     "incdedup_documents": _SQL_INCDEDUP_DOCUMENTS,
     "dedup_lines_within_documents": _SQL_DEDUP_LINES_WITHIN_DOCUMENTS,
+    "dup_overlap_documents": _SQL_DUP_OVERLAP_DOCUMENTS,
     "stratified_sample_documents": _SQL_STRATIFIED_SAMPLE_DOCUMENTS,
     "percentile_filter_documents": _SQL_PERCENTILE_FILTER_DOCUMENTS,
     "shuffle_documents": _SQL_SHUFFLE_DOCUMENTS,

@@ -584,3 +584,36 @@ def test_minhash_over_token_sequences():
     whole = mh(t)["sig"].to_pylist()
     part = mh(t.slice(2, 5))["sig"].to_pylist()
     assert part == whole[2:7]
+
+
+def test_dup_overlap_matrix_matches_self_join_oracle():
+    """Pair counts per unordered source pair equal the SQL self-join, at
+    any parallelism; unique texts contribute nothing."""
+    import duckdb
+
+    from log_formatter_ray.ops.dedup import dup_overlap_matrix
+
+    rng = np.random.default_rng(23)
+    texts = [f"t{rng.integers(0, 60)}" for _ in range(300)]
+    srcs = [str(s) for s in rng.choice(["web", "wiki", "code"], 300)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(300), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    want = con.execute("""
+        SELECT least(a.source, b.source) AS src_a,
+               greatest(a.source, b.source) AS src_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM docs a JOIN docs b ON a.text = b.text AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    for parts in (1, 5):
+        got = (
+            dup_overlap_matrix(rd.from_arrow(t).repartition(parts),
+                               coarse=11)
+            .to_pandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -39,6 +39,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "gopher_filter_documents",
     "incdedup_documents",
     "dedup_lines_within_documents",
+    "dup_overlap_documents",
     "line_dedup_documents",
     "stratified_sample_documents",
     "decontaminate_sequences",
