@@ -107,3 +107,21 @@ def test_within_keeper_is_min_id_when_id_col_given():
         wave, path, parts=4, id_col="doc_id"
     ).to_pandas()
     assert kept["doc_id"].tolist() == [5]
+
+
+def test_index_double_update_is_harmless():
+    """A replayed (crash-retried) update appends the same identities
+    twice; probes are membership tests, so duplicate index rows must
+    change nothing."""
+    path = _fresh()
+    build_dedup_index(_docs([1], ["base"]), path, parts=4)
+    wave = _docs([2, 3], ["new1", "new2"])
+    kept = dedup_against_index(wave, path, parts=4).to_pandas()
+    update_dedup_index(_docs(list(kept["doc_id"]), list(kept["text"])),
+                       path, parts=4)
+    update_dedup_index(_docs(list(kept["doc_id"]), list(kept["text"])),
+                       path, parts=4)  # replay
+    nxt = dedup_against_index(
+        _docs([9, 10, 11], ["new1", "new2", "fresh"]), path, parts=4
+    ).to_pandas()
+    assert sorted(nxt["text"]) == ["fresh"]
