@@ -912,3 +912,115 @@ def add_pack_masks(
     return batch.append_column(
         "loss_mask", _fsl((doc_index >= 0).astype(np.int8), pa.int8())
     )
+
+
+def fim_transform(
+    batch: pa.Table,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    fim_rate: float = 0.5,
+    pre_id: int = VOCAB_SIZE - 3,
+    suf_id: int = VOCAB_SIZE - 2,
+    mid_id: int = VOCAB_SIZE - 1,
+    seed: int = 42,
+) -> pa.Table:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, PSM mode):
+    with probability ``fim_rate`` per row, pick two hash-derived cut
+    points and emit ``[PRE] prefix [SUF] suffix [MID] middle`` (the
+    model learns to infill); other rows pass through unchanged.
+
+    Deterministic and layout/slice-invariant: the apply decision and
+    both cuts derive from an avalanche of ``hash(doc_id)`` and ``seed``
+    — never a batch RNG.  Fully vectorized: rows expand into an ordered
+    segment list (≤ 6 segments each) and ONE arange-difference gather
+    assembles the output; sentinel positions are scattered afterwards.
+
+    Output: (id_col, tokens, fim_applied: bool).  Transformed rows grow
+    by exactly 3 sentinel tokens; round-trip inversion is pinned by
+    test."""
+    from log_formatter_ray.ops.dedup import _stable_hash64
+
+    tokens = batch[tokens_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = tokens.flatten().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    L = np.diff(off)
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    r = _stable_hash64(ids.to_numpy(zero_copy_only=False))
+    h = (r + np.uint64(seed)).astype(np.uint64)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(29)
+    apply_row = ((h & np.uint64(0xFFFFFFFF)) <
+                 np.uint64(int(fim_rate * (1 << 32)))) & (L > 0)
+    u = ((h >> np.uint64(32)) % np.uint64(1 << 16)).astype(np.float64)
+    v = ((h >> np.uint64(48)) % np.uint64(1 << 16)).astype(np.float64)
+    c1 = np.minimum((u / (1 << 16) * (L + 1)).astype(np.int64), L)
+    c2 = np.minimum((v / (1 << 16) * (L + 1)).astype(np.int64), L)
+    c1, c2 = np.minimum(c1, c2), np.maximum(c1, c2)
+
+    # ordered segment list per row: applied rows -> 6 segments
+    # ([PRE], prefix, [SUF], suffix, [MID], middle), plain rows -> 1.
+    # sentinel segments carry src < 0 (filled by value afterwards)
+    seg_rows, seg_src, seg_len = [], [], []
+    a = apply_row
+    p = ~apply_row
+    # build column-wise then interleave by ordering key (row, slot)
+    slots = [
+        (a, np.full(n, -1), np.ones(n, np.int64)),            # [PRE]
+        (a, off[:-1], c1),                                     # prefix
+        (a, np.full(n, -2), np.ones(n, np.int64)),            # [SUF]
+        (a, off[:-1] + c2, L - c2),                            # suffix
+        (a, np.full(n, -3), np.ones(n, np.int64)),            # [MID]
+        (a, off[:-1] + c1, c2 - c1),                           # middle
+    ]
+    order_key, srcs, lens = [], [], []
+    for slot_no, (mask, src, ln) in enumerate(slots):
+        rows = np.flatnonzero(mask)
+        order_key.append(rows * 8 + slot_no)
+        srcs.append(np.asarray(src)[rows])
+        lens.append(np.asarray(ln)[rows])
+    rows_p = np.flatnonzero(p)
+    order_key.append(rows_p * 8 + 7)
+    srcs.append(off[:-1][rows_p])
+    lens.append(L[rows_p])
+    order_key = np.concatenate(order_key)
+    srcs = np.concatenate(srcs)
+    lens = np.concatenate(lens)
+    srt = np.argsort(order_key, kind="stable")
+    seg_row = order_key[srt] // 8
+    srcs, lens = srcs[srt], lens[srt]
+
+    out_lens = L + np.where(apply_row, 3, 0)
+    new_off = np.zeros(n + 1, np.int64)
+    np.cumsum(out_lens, out=new_off[1:])
+    total_out = int(new_off[-1])
+
+    # one gather: output position -> source index (sentinels < 0)
+    seg_out = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=seg_out[1:])
+    pos = np.arange(total_out, dtype=np.int64)
+    rep = np.repeat(np.arange(len(lens)), lens)
+    local = pos - np.repeat(seg_out[:-1], lens)
+    src_idx = srcs[rep] + np.where(srcs[rep] >= 0, local, 0)
+    vals = np.empty(total_out, dtype=np.int32)
+    tok_mask = src_idx >= 0
+    vals[tok_mask] = flat[src_idx[tok_mask]]
+    vals[src_idx == -1] = pre_id
+    vals[src_idx == -2] = suf_id
+    vals[src_idx == -3] = mid_id
+
+    return pa.table({
+        id_col: ids,
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(new_off.astype(np.int32), pa.int32()),
+            pa.array(vals, pa.int32()),
+        ),
+        "fim_applied": pa.array(apply_row),
+    })

@@ -1590,6 +1590,27 @@ def q_token_budget_sample_sequences(sf_dir: str):
     return token_budget_sample(ds, "source", 100_000)
 
 
+def q_fim_sequences(sf_dir: str):
+    """Fill-in-the-middle transform (Bavarian et al. 2022) over the
+    pretokenized corpus: hash-decided rows re-emitted as
+    ``[PRE] prefix [SUF] suffix [MID] middle``.  Hash-derived cuts →
+    layout/slice-invariant but not SQL-expressible → rows-only; the
+    round-trip inverse is pinned in tests/test_tokens.py."""
+    from log_formatter_ray.ops.tokens import fim_transform
+
+    def stats(b: pa.Table) -> pa.Table:
+        out = fim_transform(b.select(["doc_id", "tokens"]))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "n_out": pc.list_value_length(out["tokens"]).cast(pa.int64()),
+            "fim_applied": out["fim_applied"],
+        })
+
+    return _sequences_ds(sf_dir).map_batches(
+        stats, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def q_remap_tokens_sequences(sf_dir: str):
     """Vocabulary remap over the pretokenized corpus: translate every
     token id through a broadcast LUT (tokenizer migration / vocab
@@ -2600,6 +2621,7 @@ QUERIES = {
     "token_budget_sample_sequences": q_token_budget_sample_sequences,
     "bpe_pair_counts_sequences": q_bpe_pair_counts_sequences,
     "pack_masks_sequences": q_pack_masks_sequences,
+    "fim_sequences": q_fim_sequences,
     # --- rows-only (no SQL oracle by design) ---
     "split_counts_documents": q_split_counts_documents,
     "sample_documents": q_sample_documents,

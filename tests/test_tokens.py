@@ -375,3 +375,35 @@ def test_add_pack_masks_block_diagonal_layout():
     # overlong pack fails loudly
     with pytest.raises(ValueError, match="context_len"):
         add_pack_masks(packed, context_len=3)
+
+
+def test_fim_transform_round_trips_and_is_slice_invariant():
+    from log_formatter_ray.ops.tokens import fim_transform
+
+    PRE, SUF, MID = 50_254, 50_255, 50_256
+    rng = np.random.default_rng(31)
+    rows = [rng.integers(0, 1000, size=ln).astype(np.int32).tolist()
+            for ln in (0, 1, 5, 80, 200, 2, 40, 40, 40, 40)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(rows))]),
+        "tokens": pa.array(rows, pa.list_(pa.int32())),
+    })
+    out = fim_transform(t, fim_rate=0.7, pre_id=PRE, suf_id=SUF, mid_id=MID)
+    applied = out["fim_applied"].to_pylist()
+    assert any(applied) and not all(applied)  # both paths exercised
+    for i, orig in enumerate(rows):
+        got = out["tokens"][i].as_py()
+        if not applied[i]:
+            assert got == orig
+            continue
+        assert len(got) == len(orig) + 3
+        assert got[0] == PRE
+        s = got.index(SUF)
+        m = got.index(MID)
+        prefix, suffix, middle = got[1:s], got[s + 1:m], got[m + 1:]
+        assert prefix + middle + suffix == orig, i
+
+    part = fim_transform(t.slice(3, 4), fim_rate=0.7,
+                         pre_id=PRE, suf_id=SUF, mid_id=MID)
+    assert part["tokens"].to_pylist() == out["tokens"].to_pylist()[3:7]
+    assert part["fim_applied"].to_pylist() == applied[3:7]
