@@ -157,6 +157,106 @@ def generate_sequences(
     return files
 
 
+def make_spanful_sequences(
+    num_rows: int, span_gram: int = 12, seed: int = 43
+) -> pa.Table:
+    """A sequences-shaped corpus with PLANTED duplicated token spans — the
+    ground truth for exact-substring dedup (ops/substr.py), where the
+    uniform-random main corpus would contain no >= L repeats at all.
+
+    Base docs are uniform tokens over a 1000-token vocab (lengths 40–240);
+    then, deterministically:
+
+    - every 7th doc donates a span of length ``span_gram``–``3*span_gram``
+      that is copied verbatim into doc ``i+3`` (cross-document duplicate);
+    - every 13th doc has an internal span repeated later in the SAME doc
+      (within-document duplicate).
+
+    Some spans overlap or chain (a copied span can itself be partially
+    re-copied) — exactly the messy union-of-windows cases the operator
+    must handle.  ``doc_id`` is ``span-%06d`` so the (id, pos) election
+    order is the plain string order on both the Ray and SQL sides.
+    """
+    rng = np.random.default_rng([seed, num_rows])
+    L = int(span_gram)
+    lens = rng.integers(40, 241, size=num_rows).astype(np.int64)
+    toks = [rng.integers(0, 1000, size=int(n), dtype=np.int32)
+            for n in lens]
+    for i in range(0, num_rows, 7):
+        j = (i + 3) % num_rows
+        if j == i:
+            continue
+        src, dst = toks[i], toks[j]
+        m = int(rng.integers(L, 3 * L + 1))
+        m = min(m, len(src), len(dst))
+        if m < L:
+            continue
+        a = int(rng.integers(0, len(src) - m + 1))
+        b = int(rng.integers(0, len(dst) - m + 1))
+        dst[b:b + m] = src[a:a + m]
+    for i in range(0, num_rows, 13):
+        t = toks[i]
+        m = int(rng.integers(L, 2 * L + 1))
+        if len(t) < 2 * m:
+            continue
+        a = int(rng.integers(0, len(t) // 2 - m + 1))
+        b = int(rng.integers(len(t) // 2, len(t) - m + 1))
+        t[b:b + m] = t[a:a + m]
+    flat = np.concatenate(toks) if toks else np.zeros(0, np.int32)
+    off = np.zeros(num_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), pa.int32()), pa.array(flat, pa.int32())
+    )
+    doc_id = np.array([f"span-{i:06d}" for i in range(num_rows)], dtype=object)
+    src_idx = rng.choice(
+        len(SOURCE_NAMES), size=num_rows, p=_zipf_weights(len(SOURCE_NAMES))
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(lens.astype(np.int32)),
+            "source": pa.array(
+                np.array(SOURCE_NAMES, dtype=object)[src_idx], pa.string()
+            ),
+        },
+        schema=SEQUENCES_SCHEMA,
+    )
+
+
+def generate_spanful_sequences(
+    out_dir: str, num_rows: int, num_files: int = 8, span_gram: int = 12,
+    seed: int = 43,
+) -> list[str]:
+    """Shard :func:`make_spanful_sequences` to parquet (idempotent, marker-
+    keyed on the full spec like :func:`generate_sequences`).  The corpus is
+    generated as ONE table (planting is cross-document) and sliced —
+    spanful corpora are small ground-truth sets, not the bulk corpus."""
+    marker = os.path.join(
+        out_dir, f"_COMPLETE_{num_rows}_{num_files}_{span_gram}_{seed}"
+    )
+    files = [os.path.join(out_dir, f"part-{i:05d}.parquet")
+             for i in range(num_files)]
+    if os.path.exists(marker):
+        return files
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):
+        if name.startswith(("part-", "_COMPLETE_")):
+            os.remove(os.path.join(out_dir, name))
+    table = make_spanful_sequences(num_rows, span_gram=span_gram, seed=seed)
+    per_file = num_rows // num_files
+    start = 0
+    for i, path in enumerate(files):
+        n = per_file if i < num_files - 1 else num_rows - per_file * (
+            num_files - 1)
+        pq.write_table(table.slice(start, n), path)
+        start += n
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return files
+
+
 # ---------------------------------------------------------------------------
 # Enrichment lookup (FIXTURES.md §2) — the broadcast small side, the analog of
 # the reference's static-label merge generalized to a translate dict

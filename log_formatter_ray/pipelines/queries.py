@@ -1709,7 +1709,42 @@ def oracle_sf_dir() -> str:
 def _seq_oracle_sql(sf_dir: str) -> dict[str, str]:
     """The sequences-corpus oracle SQLs for one sf dir's corpus glob."""
     seq_glob = os.path.join(sequences_dir_for(sf_dir)[0], "*.parquet")
+    span_glob = os.path.join(spanful_dir_for(sf_dir)[0], "*.parquet")
     return {
+        # rank every 12-gram occurrence by (id, pos); cut the union of
+        # rank>1 windows; reduce each doc to value-pinning scalars
+        "exact_substr_sequences": f"""
+WITH c AS (SELECT doc_id, tokens FROM read_parquet('{span_glob}')),
+occ AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY list_slice(tokens, p, p + 11)
+                              ORDER BY doc_id, p) AS rn
+    FROM (SELECT doc_id, tokens,
+                 unnest(range(1, len(tokens) - 10)) AS p FROM c))
+  WHERE rn > 1
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + d AS tp
+  FROM occ, (SELECT unnest(range(0, 12)) AS d)
+),
+toks AS (
+  SELECT doc_id, unnest(tokens) AS t, generate_subscripts(tokens, 1) AS tp
+  FROM c
+),
+kept AS (
+  SELECT k.doc_id, k.t,
+         row_number() OVER (PARTITION BY k.doc_id ORDER BY k.tp) AS np
+  FROM toks k ANTI JOIN cov v ON k.doc_id = v.doc_id AND k.tp = v.tp
+)
+SELECT c.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tok,
+       CAST(len(c.tokens) - COALESCE(s.n, 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(s.ws, 0) AS BIGINT) AS tok_wsum
+FROM c LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
+) s USING (doc_id)
+""",
         "chunk_sequences": f"""
 SELECT CAST(SUM(GREATEST(CAST(CEIL(n_tok / 512.0) AS BIGINT), 1)) AS BIGINT) AS n_chunks,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens
@@ -1826,6 +1861,64 @@ def q_dedup_sequences_corpus(sf_dir: str):
                 [int(kept.sum("n_tok")) if n else 0], pa.int64()
             ),
         }
+    )
+
+
+def spanful_dir_for(sf_dir: str) -> tuple[str, int]:
+    """Planted-span ground-truth corpus dir + row count for one sf tier
+    (ops/substr.py input — the uniform-random main corpus contains no
+    natural >= L-token repeats, so span removal needs its own fixture)."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf0.01"
+    rows = {"sf0.001": 400, "sf0.01": 2_000, "sf0.1": 8_000}.get(name, 2_000)
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    return os.path.join(base, "lfr_spanful", name), rows
+
+
+def q_exact_substr_sequences(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2022) over a planted-span corpus: every
+    duplicated >= 12-token span is cut from all but its globally first
+    occurrence, then each doc reduces to value-pinning scalars (kept count,
+    removed count, position-weighted token checksum — pins content AND
+    order without hashing list columns).  Oracle = the same rank-and-cut in
+    SQL (row_number over list_slice grams).  Gate-invisible by necessity
+    (unique SQL, window full since round 4) — allowlisted in
+    tests/test_registry.py, verified by tools/check_oracle.py."""
+    from log_formatter_ray.fixtures import generate_spanful_sequences
+    from log_formatter_ray.ops.substr import exact_substr_dedup
+    from log_formatter_ray.ops.textstats import _per_row_sum
+    from log_formatter_ray.sources import clean
+
+    corpus, rows = spanful_dir_for(sf_dir)
+    generate_spanful_sequences(corpus, rows, num_files=8, span_gram=12)
+    ds = clean(rd.read_parquet_bulk(sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )))
+    out = exact_substr_dedup(ds, gram_len=12, coarse=64)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos1 = np.arange(int(off[-1]), dtype=np.int64) - np.repeat(
+            off[:-1], np.diff(off)
+        ) + 1
+        return pa.table({
+            "doc_id": batch["doc_id"].combine_chunks(),
+            "n_tok": pa.array(np.diff(off)),
+            "n_removed": pa.array(
+                batch["n_removed"].combine_chunks()
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            ),
+            "tok_wsum": pa.array(_per_row_sum(flat * pos1, off)),
+        })
+
+    return out.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
     )
 
 
@@ -2649,6 +2742,7 @@ QUERIES = {
     "unigram_ppl_documents": q_unigram_ppl_documents,
     "dedup_best_documents": q_dedup_best_documents,
     "minhash_clusters_sequences": q_minhash_clusters_sequences,
+    "exact_substr_sequences": q_exact_substr_sequences,
 }
 
 ORACLE_SQL = {

@@ -46,6 +46,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "remap_tokens_sequences",
     "token_budget_sample_sequences",
     "bpe_pair_counts_sequences",
+    "exact_substr_sequences",
 }
 
 
