@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "incdedup_documents",
     "token_budget_sample_sequences",
     "bpe_pair_counts_sequences",
+    # round-5 additions (cont.): ExactSubstr duplicated-span removal
+    "exact_substr_sequences",
 ]
 
 
