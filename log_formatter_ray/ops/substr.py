@@ -200,6 +200,48 @@ def _strip_spans(batch: pa.Table, ldf: pd.DataFrame, tokens_col: str,
     return pa.table(dict(zip(names, cols)))
 
 
+def token_ngram_repetition(batch: pa.Table, n: int = 3,
+                           tokens_col: str = "tokens",
+                           id_col: str = "doc_id") -> pa.Table:
+    """WITHIN-sequence duplicate n-gram counts — the token-level analog of
+    Gopher's duplicate-line repetition signals (Rae et al. 2021 §A1.1),
+    over the tokens payload instead of text.  Per document: ``n_grams``
+    (total length-n gram positions) and ``n_dup`` (occurrences beyond the
+    first of each distinct gram) — integer outputs so the oracle never
+    compares floats; a repetition filter is ``n_dup / n_grams`` downstream.
+
+    Pure per-batch map, NO shuffle: one 128-bit rolling gram hash pass
+    (:func:`_rolling_gram_hash` — shared with :func:`exact_substr_dedup`),
+    one lexsort over (row, h1, h2), run-boundary scan.  Equivalent SQL:
+    ``COUNT(*) - COUNT(DISTINCT gram) GROUP BY doc_id`` over exploded
+    ``list_slice`` grams."""
+    toks, off = _tokens_and_offsets(batch[tokens_col])
+    flat = toks.to_numpy(zero_copy_only=False)
+    lens = np.diff(off)
+    m = np.maximum(lens - n + 1, 0)
+    row = np.repeat(np.arange(len(batch), dtype=np.int64), m)
+    first = np.cumsum(m) - m
+    starts = (np.arange(int(m.sum()), dtype=np.int64)
+              - np.repeat(first, m) + np.repeat(off[:-1], m))
+    h1 = _rolling_gram_hash(flat, starts, n, _P1, _PINV1)
+    h2 = _rolling_gram_hash(flat, starts, n, _P2, _PINV2)
+    order = np.lexsort((h2, h1, row))
+    r, a, b = row[order], h1[order], h2[order]
+    dup = np.zeros(len(r), dtype=np.int64)
+    if len(r):
+        dup[1:] = (r[1:] == r[:-1]) & (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+    n_dup = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(n_dup, r, dup)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        id_col: ids,
+        "n_grams": pa.array(m.astype(np.int64)),
+        "n_dup": pa.array(n_dup),
+    })
+
+
 def exact_substr_dedup(
     ds,
     tokens_col: str = "tokens",

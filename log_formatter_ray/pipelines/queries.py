@@ -1745,6 +1745,21 @@ FROM c LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
 ) s USING (doc_id)
 """,
+        # within-doc duplicate 3-gram counts over the same planted corpus
+        "token_repetition_sequences": f"""
+WITH g AS (
+  SELECT doc_id, list_slice(tokens, p, p + 2) AS gr
+  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS p
+        FROM read_parquet('{span_glob}'))
+)
+SELECT c.doc_id,
+       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(s.n - s.d, 0) AS BIGINT) AS n_dup
+FROM read_parquet('{span_glob}') c LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT gr) AS d FROM g
+  GROUP BY doc_id
+) s USING (doc_id)
+""",
         "chunk_sequences": f"""
 SELECT CAST(SUM(GREATEST(CAST(CEIL(n_tok / 512.0) AS BIGINT), 1)) AS BIGINT) AS n_chunks,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens
@@ -1919,6 +1934,30 @@ def q_exact_substr_sequences(sf_dir: str):
     return out.map_batches(
         summarize, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    )
+
+
+def q_token_repetition_sequences(sf_dir: str):
+    """Within-sequence duplicate 3-gram counts (Gopher-style repetition
+    signal on the TOKENS payload) over the planted-span corpus — the
+    within-doc plants and chained copies make the dup counts non-trivial.
+    Integer outputs (n_grams, n_dup) per doc; oracle = COUNT(*) -
+    COUNT(DISTINCT gram) over exploded list_slice grams.  Gate-invisible
+    by necessity (unique SQL, window full since round 4) — allowlisted in
+    tests/test_registry.py, verified by tools/check_oracle.py."""
+    from log_formatter_ray.fixtures import generate_spanful_sequences
+    from log_formatter_ray.ops.substr import token_ngram_repetition
+    from log_formatter_ray.sources import clean
+
+    corpus, rows = spanful_dir_for(sf_dir)
+    generate_spanful_sequences(corpus, rows, num_files=8, span_gram=12)
+    ds = clean(rd.read_parquet_bulk(sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )))
+    return ds.map_batches(
+        lambda b: token_ngram_repetition(b, n=3),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     )
 
 
@@ -2743,6 +2782,7 @@ QUERIES = {
     "dedup_best_documents": q_dedup_best_documents,
     "minhash_clusters_sequences": q_minhash_clusters_sequences,
     "exact_substr_sequences": q_exact_substr_sequences,
+    "token_repetition_sequences": q_token_repetition_sequences,
 }
 
 ORACLE_SQL = {

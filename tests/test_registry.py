@@ -47,6 +47,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "token_budget_sample_sequences",
     "bpe_pair_counts_sequences",
     "exact_substr_sequences",
+    "token_repetition_sequences",
 }
 
 

@@ -115,6 +115,37 @@ def test_partitioned_plan_matches_broadcast_and_block_layout_invariant():
         assert base[d][1] == other[d][1]
 
 
+def test_token_ngram_repetition_known_and_brute():
+    from log_formatter_ray.ops.substr import token_ngram_repetition
+
+    rows = [
+        ("a", [1, 2, 3, 1, 2, 3, 1, 2]),   # 3-grams: 123,231,312,123,231,312
+        ("b", [5, 5, 5, 5, 5]),            # all grams identical
+        ("c", [1, 2]),                     # shorter than n
+        ("d", [9, 8, 7, 6, 5, 4]),         # all distinct
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "tokens": pa.array([r[1] for r in rows], pa.list_(pa.int32())),
+    })
+    out = token_ngram_repetition(t, n=3).to_pandas().set_index("doc_id")
+    assert out.loc["a", "n_grams"] == 6 and out.loc["a", "n_dup"] == 3
+    assert out.loc["b", "n_grams"] == 3 and out.loc["b", "n_dup"] == 2
+    assert out.loc["c", "n_grams"] == 0 and out.loc["c", "n_dup"] == 0
+    assert out.loc["d", "n_grams"] == 4 and out.loc["d", "n_dup"] == 0
+
+    # brute-force parity on the planted corpus (within-doc plants give
+    # real dup grams), sliced-batch safe
+    corpus = make_spanful_sequences(120, span_gram=L, seed=46)
+    got = token_ngram_repetition(corpus.slice(20, 80), n=3).to_pandas()
+    for _, r in got.iterrows():
+        i = int(r["doc_id"].split("-")[1])
+        toks = corpus["tokens"][i].as_py()
+        grams = [tuple(toks[p:p + 3]) for p in range(len(toks) - 2)]
+        assert r["n_grams"] == len(grams)
+        assert r["n_dup"] == len(grams) - len(set(grams))
+
+
 def test_passthrough_columns_and_n_tok_recomputed():
     t = make_spanful_sequences(60, span_gram=L, seed=45)
     out = exact_substr_dedup(rd.from_arrow(t), gram_len=L, coarse=8)
