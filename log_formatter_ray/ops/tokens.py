@@ -88,6 +88,72 @@ def chunk_sequences(
     )
 
 
+def chunk_sequences_overlap(
+    batch: pa.Table, window: int = 512, stride: int = 256,
+    tokens_col: str = "tokens", id_col: str = "doc_id",
+) -> pa.Table:
+    """Sliding-window chunking WITH overlap — the eval-perplexity / long-doc
+    prep convention: chunks start at 0, stride, 2·stride, … and STOP at the
+    first window that reaches the document end (so no trailing chunk is
+    fully contained in its predecessor).  ``stride == window`` degenerates
+    to :func:`chunk_sequences` boundaries (which stays the zero-copy fast
+    path — overlapping windows force one gather here).
+
+    Per doc: k = 1 if n <= window else ceil((n-window)/stride)+1 chunks;
+    chunk j = tokens[j·stride : j·stride+window] (last one shorter).
+    Output: (id_col, chunk_idx:int32, tokens, n_tok:int32).  Vectorized:
+    chunk layout from arithmetic on lengths, token assembly is ONE
+    ``take`` gather over the flat value buffer — no per-chunk Python.
+    """
+    if not 0 < stride <= window:
+        raise ValueError("need 0 < stride <= window")
+    tokens = batch[tokens_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    offsets = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    n_chunks = np.where(
+        lens <= window, 1, (lens - window + stride - 1) // stride + 1
+    ).astype(np.int64)
+
+    total = int(n_chunks.sum())
+    row_of_chunk = np.repeat(np.arange(len(lens)), n_chunks)
+    chunk_idx = np.arange(total) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    local_start = chunk_idx * stride
+    chunk_lens = np.minimum(local_start + window, lens[row_of_chunk]) \
+        - local_start
+    chunk_lens = np.maximum(chunk_lens, 0)  # empty rows: one empty chunk
+
+    new_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(chunk_lens, out=new_off[1:])
+    if new_off[-1] >= 2**31:
+        raise ValueError("block exceeds 2^31 chunk tokens; split blocks")
+    # gather indices: each chunk's flat range, laid out back to back
+    gather = (np.arange(int(new_off[-1]), dtype=np.int64)
+              - np.repeat(new_off[:-1], chunk_lens)
+              + np.repeat(offsets[row_of_chunk] + local_start, chunk_lens))
+    # flatten() so a sliced block's child matches the gather coordinates
+    base = offsets[0] if len(offsets) else 0
+    flat = tokens.flatten()
+    new_tokens = pa.ListArray.from_arrays(
+        pa.array(new_off.astype(np.int32), pa.int32()),
+        flat.take(pa.array(gather - base)),
+    )
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(row_of_chunk)),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int32)),
+            "tokens": new_tokens,
+            "n_tok": pa.array(chunk_lens.astype(np.int32)),
+        }
+    )
+
+
 def pack_sequences(
     batch: pa.Table, context_len: int = 2048, tokens_col: str = "tokens",
     id_col: str = "doc_id",

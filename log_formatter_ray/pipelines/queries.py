@@ -1745,6 +1745,18 @@ FROM c LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
 ) s USING (doc_id)
 """,
+        # sliding-window overlap chunking: closed-form count + mass
+        "chunk_overlap_sequences": f"""
+SELECT CAST(SUM(k) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN n_tok <= 256 THEN n_tok
+                     ELSE 256 * (k - 1) + n_tok - (k - 1) * 128 END)
+            AS BIGINT) AS total_tokens
+FROM (SELECT n_tok,
+             CASE WHEN n_tok <= 256 THEN 1
+                  ELSE CAST(CEIL((n_tok - 256) / 128.0) AS BIGINT) + 1
+             END AS k
+      FROM read_parquet('{seq_glob}'))
+""",
         # within-doc duplicate 3-gram counts over the same planted corpus
         "token_repetition_sequences": f"""
 WITH g AS (
@@ -1934,6 +1946,30 @@ def q_exact_substr_sequences(sf_dir: str):
     return out.map_batches(
         summarize, batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
+    )
+
+
+def q_chunk_overlap_sequences(sf_dir: str):
+    """Sliding-window chunking with overlap (window 256 / stride 128) over
+    the canonical corpus: chunk-count + token-mass conservation, both in
+    CLOSED FORM on the SQL side (k = ceil((n-W)/S)+1; mass = W·(k-1) +
+    n - (k-1)·S) so the oracle never explodes the token lists.  Chunk
+    VALUES are pinned by tests/test_tokens.py round-trip checks (same
+    split as pack_sequences_stats: mass oracle + layout tests).
+    Gate-invisible by necessity (unique SQL, window full since round 4) —
+    allowlisted in tests/test_registry.py."""
+    from log_formatter_ray.ops.tokens import chunk_sequences_overlap
+
+    ds = _sequences_ds(sf_dir)
+    out = ds.map_batches(
+        lambda b: chunk_sequences_overlap(b, window=256, stride=128),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    ).select_columns(["n_tok"]).materialize()
+    return pa.table(
+        {
+            "n_chunks": pa.array([out.count()], pa.int64()),
+            "total_tokens": pa.array([int(out.sum("n_tok"))], pa.int64()),
+        }
     )
 
 
@@ -2783,6 +2819,7 @@ QUERIES = {
     "minhash_clusters_sequences": q_minhash_clusters_sequences,
     "exact_substr_sequences": q_exact_substr_sequences,
     "token_repetition_sequences": q_token_repetition_sequences,
+    "chunk_overlap_sequences": q_chunk_overlap_sequences,
 }
 
 ORACLE_SQL = {

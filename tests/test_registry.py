@@ -48,6 +48,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "bpe_pair_counts_sequences",
     "exact_substr_sequences",
     "token_repetition_sequences",
+    "chunk_overlap_sequences",
 }
 
 

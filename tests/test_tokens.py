@@ -9,6 +9,7 @@ import ray.data as rd
 
 from log_formatter_ray.ops.tokens import (
     chunk_sequences,
+    chunk_sequences_overlap,
     pack_sequences,
     token_histogram,
 )
@@ -42,6 +43,73 @@ def test_chunk_sequences_in_pipeline(seq_batch):
     )
     total = out.to_pandas()
     assert total["n_tok"].sum() == seq_batch.to_pandas()["n_tok"].sum()
+
+
+def test_chunk_overlap_values_match_brute_force(seq_batch):
+    W, S = 100, 40
+    out = chunk_sequences_overlap(seq_batch, window=W, stride=S)
+    df = out.to_pandas()
+    orig = {d: np.asarray(t, np.int64)
+            for d, t in zip(seq_batch["doc_id"].to_pylist(),
+                            seq_batch["tokens"].to_pylist())}
+    # brute force: starts 0, S, 2S, ... stop at the first window reaching
+    # the end; every chunk's values equal the original slice
+    expected = {}
+    for d, t in orig.items():
+        n = len(t)
+        starts = [0]
+        while starts[-1] + W < n:
+            starts.append(starts[-1] + S)
+        expected[d] = [t[s:s + W] for s in starts]
+    seen = {d: 0 for d in orig}
+    for _, r in df.sort_values(["doc_id", "chunk_idx"]).iterrows():
+        d, j = r["doc_id"], int(r["chunk_idx"])
+        assert np.array_equal(np.asarray(r["tokens"], np.int64),
+                              expected[d][j]), (d, j)
+        assert r["n_tok"] == len(expected[d][j])
+        seen[d] += 1
+    assert all(seen[d] == len(expected[d]) for d in orig)
+
+
+def test_chunk_overlap_stride_equals_window_matches_chunk_sequences():
+    t = pa.table({
+        "doc_id": pa.array(["a", "b", "c"], pa.string()),
+        "tokens": pa.array([list(range(7)), [], list(range(13))],
+                           pa.list_(pa.int32())),
+    })
+    a = chunk_sequences_overlap(t, window=5, stride=5).to_pandas()
+    b = chunk_sequences(t, max_len=5).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    a, b = a.sort_values(key).reset_index(drop=True), \
+        b.sort_values(key).reset_index(drop=True)
+    assert a["n_tok"].tolist() == b["n_tok"].tolist()
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_chunk_overlap_sliced_batch_and_pipeline():
+    t = pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(40)], pa.string()),
+        "tokens": pa.array([list(range(i * 3)) for i in range(40)],
+                           pa.list_(pa.int32())),
+    })
+    whole = chunk_sequences_overlap(t, window=16, stride=8).to_pandas()
+    part = chunk_sequences_overlap(t.slice(10, 20), window=16,
+                                   stride=8).to_pandas()
+    sub = whole[whole["doc_id"].isin(part["doc_id"])].reset_index(drop=True)
+    part = part.reset_index(drop=True)
+    assert sub["n_tok"].tolist() == part["n_tok"].tolist()
+    for x, y in zip(sub["tokens"], part["tokens"]):
+        assert np.array_equal(np.asarray(x), np.asarray(y))
+    # and through a Dataset with a different block layout
+    ds = rd.from_arrow(t).repartition(7).map_batches(
+        lambda b: chunk_sequences_overlap(b, window=16, stride=8),
+        batch_format="pyarrow", batch_size=None,
+    )
+    df = ds.to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(
+        drop=True)
+    w = whole.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    assert df["n_tok"].tolist() == w["n_tok"].tolist()
 
 
 def test_pack_sequences_invariants(seq_batch):
