@@ -238,6 +238,44 @@ def flag_contaminated_tokens(ds, bench_hashes, tokens_col: str = "tokens",
                           zero_copy_batch=True)
 
 
+def contamination_counts_tokens(ds, bench_hashes, tokens_col: str = "tokens",
+                                id_col: str = "doc_id", n: int = 8):
+    """SCORED decontamination: per row, how many of its token n-gram
+    occurrences appear in the (broadcast) eval set — ``(id, n_grams,
+    n_hit)`` integers, so callers can threshold on overlap FRACTION
+    instead of the binary drop of :func:`decontaminate_tokens` (the
+    standard "allow ≤x% incidental overlap" contamination policy).
+    Same streaming searchsorted probe, no shuffle, payload never moves."""
+    ref = (bench_hashes if isinstance(bench_hashes, ray.ObjectRef)
+           else ray.put(np.sort(np.asarray(bench_hashes, dtype=np.uint64))))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)
+        h, row_off = _token_ngram_hashes(batch[tokens_col], n)
+        hit = np.zeros(len(h), dtype=bool)
+        if h.size and bench.size:
+            pos = np.searchsorted(bench, h)
+            inb = pos < bench.size
+            hit[inb] = bench[pos[inb]] == h[inb]
+        per_row = np.zeros(batch.num_rows, dtype=np.int64)
+        nonempty = row_off[:-1] < row_off[1:]
+        if hit.size:
+            per_row[nonempty] = np.add.reduceat(
+                hit.astype(np.int64), row_off[:-1][nonempty]
+            )
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids,
+            "n_grams": pa.array(np.diff(row_off).astype(np.int64)),
+            "n_hit": pa.array(per_row),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None,
+                          zero_copy_batch=True)
+
+
 def decontaminate_tokens(ds, bench_hashes, tokens_col: str = "tokens",
                          n: int = 8):
     """Rows of ``ds`` sharing NO token n-gram with the eval set."""

@@ -1457,6 +1457,42 @@ def q_decontaminate_sequences(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_contamination_score_sequences(sf_dir: str):
+    """SCORED token-level decontamination: per corpus row (seq % 5 == 0),
+    the COUNT of its 8-gram occurrences found in the eval set (seq % 97
+    == 0) plus its total gram count — the "allow ≤x% incidental overlap"
+    policy input, vs ``decontaminate_sequences``'s binary drop.  Same
+    broadcast-probe plan (no shuffle); oracle counts exact-gram matches
+    with the documented ~10⁻⁶ 64-bit hash-collision contract.
+    Gate-invisible by necessity (unique SQL, window full since round 4) —
+    allowlisted in tests/test_registry.py."""
+    from log_formatter_ray.ops.decontam import (
+        benchmark_token_ngram_hashes,
+        contamination_counts_tokens,
+    )
+
+    ds = _sequences_ds(sf_dir)
+
+    def seq_mod(batch: pa.Table, mod: int) -> pa.Table:
+        seq = pc.cast(
+            pc.utf8_slice_codeunits(batch["doc_id"].combine_chunks(),
+                                    start=-8),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(seq % mod == 0))
+
+    eval_ds = ds.map_batches(
+        lambda b: seq_mod(b, 97), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    corpus = ds.map_batches(
+        lambda b: seq_mod(b, 5), batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    )
+    hashes = benchmark_token_ngram_hashes(eval_ds, n=8)
+    return contamination_counts_tokens(corpus, hashes, n=8)
+
+
 def q_minhash_clusters_sequences(sf_dir: str):
     """Near-dup clustering of the PRETOKENIZED corpus — MinHash shingles
     over token ids directly (no text round-trip; `MinHasher` detects the
@@ -1744,6 +1780,33 @@ SELECT c.doc_id,
 FROM c LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
 ) s USING (doc_id)
+""",
+        # scored decontamination: per-doc eval-overlap gram counts
+        "contamination_score_sequences": f"""
+WITH corpus AS (
+  SELECT doc_id, tokens FROM read_parquet('{seq_glob}')
+  WHERE CAST(right(doc_id, 8) AS BIGINT) % 5 = 0
+),
+eval AS (
+  SELECT tokens FROM read_parquet('{seq_glob}')
+  WHERE CAST(right(doc_id, 8) AS BIGINT) % 97 = 0
+),
+egrams AS (
+  SELECT DISTINCT tokens[i:i+7] AS gr
+  FROM eval, UNNEST(generate_series(1, len(tokens)-7)) AS t(i)
+),
+cgrams AS (
+  SELECT doc_id, tokens[i:i+7] AS gr
+  FROM corpus, UNNEST(generate_series(1, len(tokens)-7)) AS t(i)
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS h FROM cgrams
+  WHERE gr IN (SELECT gr FROM egrams) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(GREATEST(len(c.tokens) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(hits.h, 0) AS BIGINT) AS n_hit
+FROM corpus c LEFT JOIN hits USING (doc_id)
 """,
         # sliding-window overlap chunking: closed-form count + mass
         "chunk_overlap_sequences": f"""
@@ -2820,6 +2883,7 @@ QUERIES = {
     "exact_substr_sequences": q_exact_substr_sequences,
     "token_repetition_sequences": q_token_repetition_sequences,
     "chunk_overlap_sequences": q_chunk_overlap_sequences,
+    "contamination_score_sequences": q_contamination_score_sequences,
 }
 
 ORACLE_SQL = {

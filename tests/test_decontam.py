@@ -189,3 +189,33 @@ def test_decontaminate_tokens_drops_overlaps():
     # short rows (< n tokens) are never contaminated
     short = rd.from_items([{"doc_id": 99, "tokens": [1, 2, 3]}])
     assert decontaminate_tokens(short, hashes, n=8).count() == 1
+
+
+def test_contamination_counts_tokens_exact_counts():
+    import numpy as np
+
+    import ray.data as rd
+
+    from log_formatter_ray.ops.decontam import (
+        benchmark_token_ngram_hashes,
+        contamination_counts_tokens,
+    )
+
+    # doc "hit2": eval gram [10..17] appears at positions 0 and 4 after a
+    # 4-token gap?  Construct explicitly: two occurrences of the eval
+    # 8-gram, one unrelated doc, one short doc.
+    gram = list(range(10, 18))
+    rows = [
+        {"doc_id": "hit2", "tokens": gram + [99, 98] + gram},
+        {"doc_id": "miss", "tokens": list(range(200, 220))},
+        {"doc_id": "short", "tokens": [1, 2, 3]},
+    ]
+    bench = rd.from_items([{"doc_id": "e", "tokens": gram}])
+    hashes = benchmark_token_ngram_hashes(bench, n=8)
+    out = contamination_counts_tokens(
+        rd.from_items(rows).repartition(2), hashes, n=8
+    ).to_pandas().set_index("doc_id")
+    assert out.loc["hit2", "n_grams"] == 18 - 8 + 1
+    assert out.loc["hit2", "n_hit"] == 2
+    assert out.loc["miss", "n_grams"] == 13 and out.loc["miss", "n_hit"] == 0
+    assert out.loc["short", "n_grams"] == 0 and out.loc["short", "n_hit"] == 0

@@ -49,6 +49,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "exact_substr_sequences",
     "token_repetition_sequences",
     "chunk_overlap_sequences",
+    "contamination_score_sequences",
 }
 
 
