@@ -1,7 +1,10 @@
 """Exact-substring (duplicated token span) removal (ops/substr.py)."""
 
+import hypothesis.strategies as st
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+from hypothesis import given, settings
 
 import ray.data as rd
 
@@ -144,6 +147,84 @@ def test_token_ngram_repetition_known_and_brute():
         grams = [tuple(toks[p:p + 3]) for p in range(len(toks) - 2)]
         assert r["n_grams"] == len(grams)
         assert r["n_dup"] == len(grams) - len(set(grams))
+
+
+# --- kernel property tests (pure per-batch functions; the e2e pipeline is
+# pinned by the planted-corpus tests above) -------------------------------
+
+_DOCS = st.lists(
+    st.lists(st.integers(0, 3), min_size=0, max_size=25),  # tiny vocab ⇒
+    min_size=1, max_size=8,                                # real gram repeats
+)
+
+
+def _table(docs):
+    return pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(len(docs))], pa.string()),
+        "tokens": pa.array(docs, pa.list_(pa.int32())),
+    })
+
+
+@given(_DOCS, st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_gram_keys_partition_exactly_by_gram_equality(docs, n):
+    """(h1, h2) groups the gram occurrences EXACTLY like the grams
+    themselves — equal grams always collide, distinct grams never do (on
+    this input size) — and positions are batch-layout-correct."""
+    from log_formatter_ray.ops.substr import _gram_keys
+
+    keys = _gram_keys(_table(docs), "tokens", "doc_id", n, 8).to_pandas()
+    by_hash = {}
+    for _, r in keys.iterrows():
+        by_hash.setdefault((r["_h1"], r["_h2"]), set()).add(
+            (r["doc_id"], r["_pos"]))
+    by_gram = {}
+    for i, t in enumerate(docs):
+        for p in range(len(t) - n + 1):
+            by_gram.setdefault(tuple(t[p:p + n]), set()).add((f"d{i}", p))
+    assert sorted(map(sorted, by_hash.values())) \
+        == sorted(map(sorted, by_gram.values()))
+
+
+@given(_DOCS, st.integers(2, 4), st.data())
+@settings(max_examples=60, deadline=None)
+def test_strip_spans_matches_python_mask(docs, n, data):
+    """_strip_spans over ARBITRARY loser pairs (valid gram starts chosen by
+    hypothesis) equals the per-row Python interval mask."""
+    from log_formatter_ray.ops.substr import _strip_spans
+
+    valid = [(i, p) for i, t in enumerate(docs)
+             for p in range(max(len(t) - n + 1, 0))]
+    pairs = data.draw(st.lists(st.sampled_from(valid), max_size=10)
+                      if valid else st.just([]))
+    ldf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i, _ in pairs],
+        "_pos": pd.array([p for _, p in pairs], dtype="int64"),
+    })
+    out = _strip_spans(_table(docs), ldf, "tokens", "doc_id", n).to_pandas()
+    out = out.set_index("doc_id")
+    for i, t in enumerate(docs):
+        cover = np.zeros(len(t), bool)
+        for j, p in pairs:
+            if j == i:
+                cover[p:p + n] = True
+        expect = np.asarray(t, np.int64)[~cover]
+        got = np.asarray(out.loc[f"d{i}", "tokens"], np.int64)
+        assert np.array_equal(got, expect)
+        assert out.loc[f"d{i}", "n_removed"] == int(cover.sum())
+
+
+@given(_DOCS, st.integers(2, 4))
+@settings(max_examples=60, deadline=None)
+def test_token_ngram_repetition_property(docs, n):
+    from log_formatter_ray.ops.substr import token_ngram_repetition
+
+    out = token_ngram_repetition(_table(docs), n=n).to_pandas()
+    out = out.set_index("doc_id")
+    for i, t in enumerate(docs):
+        grams = [tuple(t[p:p + n]) for p in range(max(len(t) - n + 1, 0))]
+        assert out.loc[f"d{i}", "n_grams"] == len(grams)
+        assert out.loc[f"d{i}", "n_dup"] == len(grams) - len(set(grams))
 
 
 def test_passthrough_columns_and_n_tok_recomputed():
