@@ -80,8 +80,11 @@ BENCH_QUERIES = [
     "incdedup_documents",
     "token_budget_sample_sequences",
     "bpe_pair_counts_sequences",
-    # round-5 additions (cont.): ExactSubstr duplicated-span removal
+    # round-5 additions (cont.): ExactSubstr duplicated-span removal,
+    # overlap chunking, scored decontamination
     "exact_substr_sequences",
+    "chunk_overlap_sequences",
+    "contamination_score_sequences",
 ]
 
 
