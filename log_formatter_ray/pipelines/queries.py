@@ -1457,6 +1457,59 @@ def q_decontaminate_sequences(sf_dir: str):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
+def q_corpus_report_sequences(sf_dir: str):
+    """One-pass corpus health report: ONE streaming map over the corpus
+    emits a 1-row partial per block (counts, token mass, long/malformed
+    tallies, min/max length, the block's distinct source set), and the
+    driver folds kilobytes of partials — the pre-aggregate-inside-
+    map_batches pattern with ZERO shuffle, however large the corpus.
+    Every output is an integer scalar so the oracle is one SQL SELECT.
+    Gate-invisible by necessity (unique SQL, window full since round 4) —
+    allowlisted in tests/test_registry.py."""
+    ds = _sequences_ds(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tok"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch["doc_id"].combine_chunks()
+        # RE2 ≡ DuckDB regexp_matches on this pattern (flagship parity)
+        ok = pc.match_substring_regex(
+            ids, r"^[0-9A-Za-z_]+/\d{4}-\d{2}-\d{2}/\d{4}-\d{8}$"
+        ).to_numpy(zero_copy_only=False)
+        srcs = pc.unique(batch["source"].combine_chunks())
+        return pa.table({
+            "n_docs": pa.array([len(batch)], pa.int64()),
+            "total_tokens": pa.array([int(n_tok.sum())], pa.int64()),
+            "n_long": pa.array([int((n_tok >= 1024).sum())], pa.int64()),
+            "n_malformed": pa.array([int((~ok).sum())], pa.int64()),
+            "min_len": pa.array(
+                [int(n_tok.min()) if len(n_tok) else 0], pa.int64()),
+            "max_len": pa.array(
+                [int(n_tok.max()) if len(n_tok) else 0], pa.int64()),
+            "sources": pa.array([srcs.to_pylist()],
+                                pa.list_(pa.string())),
+        })
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None,
+        zero_copy_batch=True,
+    ).to_pandas()  # one row per block — kilobytes at any corpus size
+    sources = set()
+    for s in parts["sources"]:
+        sources.update(s)
+    return pa.table({
+        "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+        "total_tokens": pa.array(
+            [int(parts["total_tokens"].sum())], pa.int64()),
+        "n_long": pa.array([int(parts["n_long"].sum())], pa.int64()),
+        "n_malformed": pa.array(
+            [int(parts["n_malformed"].sum())], pa.int64()),
+        "min_len": pa.array([int(parts["min_len"].min())], pa.int64()),
+        "max_len": pa.array([int(parts["max_len"].max())], pa.int64()),
+        "n_sources": pa.array([len(sources)], pa.int64()),
+    })
+
+
 def q_contamination_score_sequences(sf_dir: str):
     """SCORED token-level decontamination: per corpus row (seq % 5 == 0),
     the COUNT of its 8-gram occurrences found in the eval set (seq % 97
@@ -1780,6 +1833,20 @@ SELECT c.doc_id,
 FROM c LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
 ) s USING (doc_id)
+""",
+        # one-pass corpus health report (all-integer scalars)
+        "corpus_report_sequences": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tok >= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long,
+       CAST(SUM(CASE WHEN NOT regexp_matches(doc_id,
+              '^[0-9A-Za-z_]+/\\d{{4}}-\\d{{2}}-\\d{{2}}/\\d{{4}}-\\d{{8}}$')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+       CAST(MIN(n_tok) AS BIGINT) AS min_len,
+       CAST(MAX(n_tok) AS BIGINT) AS max_len,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM read_parquet('{seq_glob}')
 """,
         # scored decontamination: per-doc eval-overlap gram counts
         "contamination_score_sequences": f"""
@@ -2884,6 +2951,7 @@ QUERIES = {
     "token_repetition_sequences": q_token_repetition_sequences,
     "chunk_overlap_sequences": q_chunk_overlap_sequences,
     "contamination_score_sequences": q_contamination_score_sequences,
+    "corpus_report_sequences": q_corpus_report_sequences,
 }
 
 ORACLE_SQL = {

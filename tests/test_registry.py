@@ -50,6 +50,7 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "token_repetition_sequences",
     "chunk_overlap_sequences",
     "contamination_score_sequences",
+    "corpus_report_sequences",
 }
 
 
