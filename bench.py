@@ -251,8 +251,91 @@ def run_scaling() -> dict:
     }
 
 
+# --- compute-bound scaling (the bus-starvation-immune complement) -----------
+# The flagship is BANDWIDTH-bound (~1 GB of tokens streamed per pass), so its
+# scaling pair inherits the host's documented time-varying memory-bus
+# starvation (BASELINE.md; the 16-way stream control).  MinHash SIGNATURES
+# are COMPUTE-bound (~64 permutation reductions per shingle byte — the same
+# regime as the L2-burn control, which scaled cleanly in every band), so this
+# pair isolates the ENGINE's scheduling/scaling from the host bus and is
+# capturable even when no healthy bandwidth window exists.  It complements —
+# never replaces — the flagship pair.
+
+SCALE_COMPUTE_ROWS = int(os.environ.get("GRAFT_SCALE_COMPUTE_ROWS", 600_000))
+
+_SCALE_COMPUTE_CHILD = r"""
+import os, sys, time
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+import pyarrow as pa
+import ray.data as rd
+from log_formatter_ray.sources import clean
+from log_formatter_ray.ops.dedup import MinHasher
+
+corpus = sys.argv[2]
+files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
+               if f.endswith(".parquet"))
+ds = clean(rd.read_parquet_bulk(files))
+t0 = time.time()
+n = ds.map_batches(
+    MinHasher,
+    fn_constructor_kwargs={"text_col": "tokens", "num_perm": 64},
+    batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+    concurrency=int(sys.argv[1]),
+).map_batches(
+    lambda b: pa.table({"n": pa.array([len(b)], pa.int64())}),
+    batch_format="pyarrow", batch_size=None,
+).sum("n")
+best = time.time() - t0
+print("BEST", best, n, 0)
+"""
+
+
+def run_scaling_compute() -> dict:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    corpus = os.path.join(base, f"lfr_scalecomp_{SCALE_COMPUTE_ROWS}_64")
+    from log_formatter_ray.fixtures import generate_sequences
+
+    generate_sequences(corpus, SCALE_COMPUTE_ROWS, num_files=64)
+    results: dict[int, float] = {}
+    rows = 0
+    for _round in range(2):  # interleave levels (same rationale as above)
+        for ncpu in SCALE_LEVELS:
+            out = subprocess.run(
+                [sys.executable, "-c", _SCALE_COMPUTE_CHILD, str(ncpu),
+                 corpus],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            line = [l for l in out.splitlines() if l.startswith("BEST")][-1]
+            _, sec, n, _z = line.split()
+            rows = int(n)
+            if ncpu not in results or float(sec) < results[ncpu]:
+                results[ncpu] = float(sec)
+
+    lo, hi = SCALE_LEVELS
+    eff = (results[lo] / results[hi]) * (lo / hi)
+    return {
+        "metric": "scaling_efficiency_compute",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        f"sec_{lo}": round(results[lo], 2),
+        f"sec_{hi}": round(results[hi], 2),
+        "pipeline": "minhash_signatures_tokens",
+        "rows": rows,
+        "corpus": corpus,
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-compute" in sys.argv:
+        print(json.dumps(run_scaling_compute()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
