@@ -54,6 +54,12 @@ from log_formatter_ray.ops.graph import connected_components
 logger = logging.getLogger("log_formatter_ray")
 
 _MERSENNE31 = np.uint64((1 << 31) - 1)
+
+# MinHash permutation-loop chunk size (shingles): keeps the (h, tmp, red)
+# uint64 working set (~3 × 8 B × chunk) inside L2 across all num_perm
+# passes, so DRAM reads the shingle buffer ~once per block instead of once
+# per permutation.  Row-aligned; byte-identical signatures at any value.
+_SIG_CHUNK = 1 << 15
 _FNV_PRIME = np.uint64(1099511628211)
 _GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
 
@@ -349,30 +355,55 @@ class MinHasher:
         sigs = np.zeros((n_rows, self.num_perm), dtype=np.uint64)
         if h_all.size:
             h = h_all % _MERSENNE31  # (S,)
-            nonempty = np.diff(offsets) > 0
-            starts = offsets[:-1][nonempty]
-            # One permutation at a time over flat (S,) buffers — the
-            # (num_perm × S) matrix form paid ~11× more wall time: uint64
-            # `%` is an integer DIVISION per element, and the matrix
-            # (512 MB per 1M shingles) thrashed the memory bus.  Here the
-            # modulus is a branch-free two-fold Mersenne-31 reduction
-            # (2^31 ≡ 1 mod M, valid for x < 2^62 = max(a*h+b)) and the
-            # working set is three S-sized buffers.
-            tmp = np.empty(h.size, np.uint64)
-            red = np.empty(h.size, np.uint64)
+            # One permutation at a time over CACHE-RESIDENT chunks — two
+            # prior forms both lost to the memory bus: the (num_perm × S)
+            # matrix paid ~11× (uint64 `%` is an integer DIVISION per
+            # element; 512 MB per 1M shingles), and flat (S,) per-perm
+            # buffers re-streamed ~3 S-sized uint64 arrays from DRAM for
+            # EVERY permutation (~46 GB of traffic per 4.5M-shingle
+            # block — the 2→8 compute-scaling pair measured 31 s of
+            # unscalable bus time).  Chunking the shingle buffer into
+            # ≤2^16-element row-aligned slices keeps (h, tmp, red) in L2
+            # across all num_perm passes: DRAM reads h ~once total.  The
+            # modulus is the branch-free two-fold Mersenne-31 reduction
+            # (2^31 ≡ 1 mod M, valid for x < 2^62 = max(a*h+b)); per-row
+            # minima are unchanged because chunks split ONLY at row
+            # boundaries (oversize single rows form their own chunk).
             M = _MERSENNE31
-            for j in range(self.num_perm):
-                np.multiply(h, self.a[j], out=tmp)
-                np.add(tmp, self.b[j], out=tmp)
-                np.bitwise_and(tmp, M, out=red)
-                np.right_shift(tmp, np.uint64(31), out=tmp)
-                np.add(red, tmp, out=tmp)        # < 2^32
-                np.bitwise_and(tmp, M, out=red)
-                np.right_shift(tmp, np.uint64(31), out=tmp)
-                np.add(red, tmp, out=tmp)        # <= M+1
-                np.subtract(tmp, M, out=red)     # wraps below M
-                np.minimum(tmp, red, out=tmp)    # == (a*h+b) % M
-                sigs[nonempty, j] = np.minimum.reduceat(tmp, starts)
+            chunk_target = _SIG_CHUNK
+            row_start = offsets[:-1]
+            row_end = offsets[1:]
+            # row-aligned cuts nearest each multiple of chunk_target
+            # (vectorized; oversize rows collapse duplicates via unique)
+            marks = np.arange(chunk_target, int(offsets[-1]), chunk_target)
+            cut = np.unique(np.concatenate((
+                [0], np.searchsorted(offsets, marks, side="left"), [n_rows]
+            ))).astype(np.int64)
+            max_chunk = int(np.diff(offsets[cut]).max())
+            tmp = np.empty(max_chunk, np.uint64)
+            red = np.empty_like(tmp)
+            for c0, c1 in zip(cut[:-1], cut[1:]):
+                s0, s1 = int(offsets[c0]), int(offsets[c1])
+                if s1 == s0:
+                    continue
+                hc = h[s0:s1]
+                ne = row_end[c0:c1] > row_start[c0:c1]
+                st = (row_start[c0:c1][ne] - s0).astype(np.int64)
+                rows_ne = np.arange(c0, c1)[ne]
+                t = tmp[: hc.size]
+                d = red[: hc.size]
+                for j in range(self.num_perm):
+                    np.multiply(hc, self.a[j], out=t)
+                    np.add(t, self.b[j], out=t)
+                    np.bitwise_and(t, M, out=d)
+                    np.right_shift(t, np.uint64(31), out=t)
+                    np.add(d, t, out=t)        # < 2^32
+                    np.bitwise_and(t, M, out=d)
+                    np.right_shift(t, np.uint64(31), out=t)
+                    np.add(d, t, out=t)        # <= M+1
+                    np.subtract(t, M, out=d)   # wraps below M
+                    np.minimum(t, d, out=t)    # == (a*h+b) % M
+                    sigs[rows_ne, j] = np.minimum.reduceat(t, st)
         sig_list = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )
