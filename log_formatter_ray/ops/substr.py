@@ -200,6 +200,51 @@ def _strip_spans(batch: pa.Table, ldf: pd.DataFrame, tokens_col: str,
     return pa.table(dict(zip(names, cols)))
 
 
+def duplicated_gram_stats(ds, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", gram_len: int = 50,
+                          coarse: int = 256):
+    """Corpus-wide duplicated-gram report (the boilerplate-SPAN detector —
+    RefinedWeb-style "what repeated content dominates this corpus"): one
+    row per DISTINCT length-L gram occurring >= 2 times, carrying its
+    occurrence count and its globally first ``(id, pos)`` occurrence as
+    the representative (deterministic: the same election order as
+    :func:`exact_substr_dedup`).  Same Θ(token positions) key-only
+    shuffle as the dedup — payloads never move; downstream callers
+    ``sort((n desc, id, pos)).limit(k)`` for a top-k."""
+    L = int(gram_len)
+
+    def gram_stats(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("_h1", "ascending"), ("_h2", "ascending"),
+                       (id_col, "ascending"), ("_pos", "ascending")],
+        )
+        g = group.take(order)
+        a = g["_h1"].to_numpy(zero_copy_only=False)
+        b = g["_h2"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(g), dtype=bool)
+        if len(g):
+            new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(g)])
+        dup = counts >= 2
+        firsts = starts[dup]
+        return pa.table({
+            "n": pa.array(counts[dup].astype(np.int64)),
+            id_col: g[id_col].take(pa.array(firsts)),
+            "pos": g["_pos"].take(pa.array(firsts)),
+        })
+
+    return (
+        ds.map_batches(
+            lambda b: _gram_keys(b, tokens_col, id_col, L, coarse),
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
+        )
+        .groupby(PART_COL)
+        .map_groups(gram_stats, batch_format="pyarrow")
+    )
+
+
 def token_ngram_repetition(batch: pa.Table, n: int = 3,
                            tokens_col: str = "tokens",
                            id_col: str = "doc_id") -> pa.Table:

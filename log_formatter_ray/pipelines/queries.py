@@ -1510,6 +1510,58 @@ def q_corpus_report_sequences(sf_dir: str):
     })
 
 
+def q_top_dup_grams_sequences(sf_dir: str):
+    """Top-10 most duplicated 12-token grams over the planted-span corpus
+    (the boilerplate-span report): occurrence count + globally first
+    (doc_id, pos) as the deterministic representative, ordered by
+    (n DESC, doc_id, pos).  Oracle = SQL GROUP BY the gram list itself
+    with a row_number()-elected representative.  Gate-invisible by
+    necessity (unique SQL, window full since round 4) — allowlisted in
+    tests/test_registry.py."""
+    from log_formatter_ray.fixtures import generate_spanful_sequences
+    from log_formatter_ray.ops.substr import duplicated_gram_stats
+    from log_formatter_ray.sources import clean
+
+    corpus, rows = spanful_dir_for(sf_dir)
+    generate_spanful_sequences(corpus, rows, num_files=8, span_gram=12)
+    ds = clean(rd.read_parquet_bulk(sorted(
+        os.path.join(corpus, f) for f in os.listdir(corpus)
+        if f.endswith(".parquet")
+    )))
+    stats = duplicated_gram_stats(ds, gram_len=12, coarse=64)
+    return stats.sort(
+        ["n", "doc_id", "pos"], descending=[True, False, False]
+    ).limit(10)
+
+
+def q_length_buckets_sequences(sf_dir: str):
+    """Sequence-length bucket histogram (dynamic-batching prep: group
+    sequences into 128-token buckets so batches pad within a bucket, not
+    across the corpus): per bucket, doc count + token mass.  Per-block
+    partial aggregation (`grouped_count`) — the shuffle carries only
+    (bucket, n, tok) partials.  Gate-invisible by necessity (unique SQL,
+    window full since round 4) — allowlisted in tests/test_registry.py."""
+    from log_formatter_ray.stages.aggregate import grouped_count
+
+    ds = _sequences_ds(sf_dir)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n_tok = batch["n_tok"].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(n_tok // 128),
+            "n_tok": pa.array(n_tok),
+        })
+
+    out = grouped_count(
+        ds.map_batches(bucketize, batch_format="pyarrow", batch_size=None,
+                       zero_copy_batch=True),
+        keys=["bucket"], count_alias="n_docs",
+        sum_cols={"n_tok": "total_tokens"},
+    )
+    return out
+
+
 def q_contamination_score_sequences(sf_dir: str):
     """SCORED token-level decontamination: per corpus row (seq % 5 == 0),
     the COUNT of its 8-gram occurrences found in the eval set (seq % 97
@@ -1833,6 +1885,35 @@ SELECT c.doc_id,
 FROM c LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n, SUM(np * t) AS ws FROM kept GROUP BY doc_id
 ) s USING (doc_id)
+""",
+        # top duplicated grams (boilerplate-span report)
+        "top_dup_grams_sequences": f"""
+WITH occ AS (
+  SELECT doc_id, p - 1 AS pos, list_slice(tokens, p, p + 11) AS g
+  FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens) - 10)) AS p
+        FROM read_parquet('{span_glob}'))
+),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ GROUP BY g HAVING COUNT(*) >= 2
+),
+rep AS (
+  SELECT g, doc_id, pos FROM (
+    SELECT g, doc_id, pos,
+           row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+    FROM occ) WHERE rn = 1
+)
+SELECT a.n, r.doc_id, CAST(r.pos AS BIGINT) AS pos
+FROM agg a JOIN rep r USING (g)
+ORDER BY a.n DESC, r.doc_id, r.pos LIMIT 10
+""",
+        # length-bucket histogram (128-token buckets)
+        "length_buckets_sequences": f"""
+SELECT CAST(n_tok // 128 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM read_parquet('{seq_glob}')
+GROUP BY bucket
 """,
         # one-pass corpus health report (all-integer scalars)
         "corpus_report_sequences": f"""
@@ -2952,6 +3033,8 @@ QUERIES = {
     "chunk_overlap_sequences": q_chunk_overlap_sequences,
     "contamination_score_sequences": q_contamination_score_sequences,
     "corpus_report_sequences": q_corpus_report_sequences,
+    "length_buckets_sequences": q_length_buckets_sequences,
+    "top_dup_grams_sequences": q_top_dup_grams_sequences,
 }
 
 ORACLE_SQL = {

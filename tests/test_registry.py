@@ -51,6 +51,8 @@ GATE_INVISIBLE_UNIQUE_SQL = {
     "chunk_overlap_sequences",
     "contamination_score_sequences",
     "corpus_report_sequences",
+    "length_buckets_sequences",
+    "top_dup_grams_sequences",
 }
 
 
