@@ -336,74 +336,80 @@ class MinHasher:
         k = self.shingle_k
         n_rows = len(batch)
         # Shingle hashes with NO string construction and no per-row Python:
-        # one Arrow whitespace split + one hash_array over the flat words,
-        # then a rolling polynomial fold of k consecutive word hashes
-        # (duplicates within a row are harmless — min over duplicates
-        # equals min over the set).  Per-row minima via reduceat, one
-        # permutation at a time over flat (S,) buffers.
+        # Arrow whitespace split + hash_array over flat words, then a
+        # rolling polynomial fold of k consecutive word hashes (duplicates
+        # within a row are harmless — min over duplicates equals min over
+        # the set).  The WHOLE hash → shingle → permute pipeline runs per
+        # row-aligned CACHE-RESIDENT chunk — three prior forms lost to the
+        # memory bus: the (num_perm × S) matrix paid ~11× (uint64 `%` is
+        # an integer DIVISION per element; 512 MB per 1M shingles); flat
+        # (S,) per-perm buffers re-streamed ~3 S-sized uint64 arrays from
+        # DRAM for EVERY permutation (~46 GB per 4.5M-shingle block); and
+        # chunking only the permutation loop left the hash/shingle phase
+        # as a full-block multi-pass DRAM streamer (~50 B/token of
+        # traffic, the dominant remainder once the perm loop went L2).
+        # Fused, DRAM touches the input ~once per block.  The modulus is
+        # a branch-free two-fold Mersenne-31 reduction (2^31 ≡ 1 mod M,
+        # valid for x < 2^62 = max(a*h+b)); per-row minima — hence
+        # signatures — are byte-identical at ANY chunk size because
+        # chunks split only at row boundaries (oversize single rows form
+        # their own chunk; parity pinned by tests).
         col = batch[self.text_col]
-        col_type = col.type if not isinstance(col, pa.ChunkedArray) \
-            else col.chunk(0).type if col.num_chunks else col.type
-        if pa.types.is_list(col_type) or pa.types.is_large_list(col_type):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        token_mode = pa.types.is_list(col.type) \
+            or pa.types.is_large_list(col.type)
+        if token_mode:
             # tokens-axis input: shingle over token ids directly (no text
             # round-trip; the signature/LSH/CC plan downstream is shared)
-            wh, w_off = _token_value_hashes(col)
+            off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vol = off - off[0]
+            chunk_vol = _SIG_CHUNK
         else:
-            wh, w_off = _split_word_hashes(col)
-        h_all, offsets = _shingle_hashes(wh, w_off, k)
+            # byte volume as the word-count proxy (~6 B per word + space)
+            lens = pc.binary_length(
+                pc.fill_null(col, "")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            vol = np.zeros(n_rows + 1, np.int64)
+            np.cumsum(lens, out=vol[1:])
+            chunk_vol = _SIG_CHUNK * 6
+        marks = np.arange(chunk_vol, int(vol[-1]), chunk_vol)
+        cut = np.unique(np.concatenate((
+            [0], np.searchsorted(vol, marks, side="left"), [n_rows]
+        ))).astype(np.int64)
 
+        M = _MERSENNE31
         sigs = np.zeros((n_rows, self.num_perm), dtype=np.uint64)
-        if h_all.size:
-            h = h_all % _MERSENNE31  # (S,)
-            # One permutation at a time over CACHE-RESIDENT chunks — two
-            # prior forms both lost to the memory bus: the (num_perm × S)
-            # matrix paid ~11× (uint64 `%` is an integer DIVISION per
-            # element; 512 MB per 1M shingles), and flat (S,) per-perm
-            # buffers re-streamed ~3 S-sized uint64 arrays from DRAM for
-            # EVERY permutation (~46 GB of traffic per 4.5M-shingle
-            # block — the 2→8 compute-scaling pair measured 31 s of
-            # unscalable bus time).  Chunking the shingle buffer into
-            # ≤2^16-element row-aligned slices keeps (h, tmp, red) in L2
-            # across all num_perm passes: DRAM reads h ~once total.  The
-            # modulus is the branch-free two-fold Mersenne-31 reduction
-            # (2^31 ≡ 1 mod M, valid for x < 2^62 = max(a*h+b)); per-row
-            # minima are unchanged because chunks split ONLY at row
-            # boundaries (oversize single rows form their own chunk).
-            M = _MERSENNE31
-            chunk_target = _SIG_CHUNK
-            row_start = offsets[:-1]
-            row_end = offsets[1:]
-            # row-aligned cuts nearest each multiple of chunk_target
-            # (vectorized; oversize rows collapse duplicates via unique)
-            marks = np.arange(chunk_target, int(offsets[-1]), chunk_target)
-            cut = np.unique(np.concatenate((
-                [0], np.searchsorted(offsets, marks, side="left"), [n_rows]
-            ))).astype(np.int64)
-            max_chunk = int(np.diff(offsets[cut]).max())
-            tmp = np.empty(max_chunk, np.uint64)
-            red = np.empty_like(tmp)
-            for c0, c1 in zip(cut[:-1], cut[1:]):
-                s0, s1 = int(offsets[c0]), int(offsets[c1])
-                if s1 == s0:
-                    continue
-                hc = h[s0:s1]
-                ne = row_end[c0:c1] > row_start[c0:c1]
-                st = (row_start[c0:c1][ne] - s0).astype(np.int64)
-                rows_ne = np.arange(c0, c1)[ne]
-                t = tmp[: hc.size]
-                d = red[: hc.size]
-                for j in range(self.num_perm):
-                    np.multiply(hc, self.a[j], out=t)
-                    np.add(t, self.b[j], out=t)
-                    np.bitwise_and(t, M, out=d)
-                    np.right_shift(t, np.uint64(31), out=t)
-                    np.add(d, t, out=t)        # < 2^32
-                    np.bitwise_and(t, M, out=d)
-                    np.right_shift(t, np.uint64(31), out=t)
-                    np.add(d, t, out=t)        # <= M+1
-                    np.subtract(t, M, out=d)   # wraps below M
-                    np.minimum(t, d, out=t)    # == (a*h+b) % M
-                    sigs[rows_ne, j] = np.minimum.reduceat(t, st)
+        for c0, c1 in zip(cut[:-1], cut[1:]):
+            if c1 == c0:
+                continue
+            sub = col.slice(int(c0), int(c1 - c0))
+            if token_mode:
+                wh, w_off = _token_value_hashes(sub)
+            else:
+                wh, w_off = _split_word_hashes(sub)
+            h_all, s_off = _shingle_hashes(wh, w_off, k)
+            if not h_all.size:
+                continue
+            h = h_all % M
+            row_start, row_end = s_off[:-1], s_off[1:]
+            ne = row_end > row_start
+            st = row_start[ne]
+            rows_ne = np.arange(int(c0), int(c1))[ne]
+            t = np.empty(h.size, np.uint64)
+            d = np.empty(h.size, np.uint64)
+            for j in range(self.num_perm):
+                np.multiply(h, self.a[j], out=t)
+                np.add(t, self.b[j], out=t)
+                np.bitwise_and(t, M, out=d)
+                np.right_shift(t, np.uint64(31), out=t)
+                np.add(d, t, out=t)        # < 2^32
+                np.bitwise_and(t, M, out=d)
+                np.right_shift(t, np.uint64(31), out=t)
+                np.add(d, t, out=t)        # <= M+1
+                np.subtract(t, M, out=d)   # wraps below M
+                np.minimum(t, d, out=t)    # == (a*h+b) % M
+                sigs[rows_ne, j] = np.minimum.reduceat(t, st)
         sig_list = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
         )
