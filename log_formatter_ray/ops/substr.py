@@ -336,10 +336,6 @@ def exact_substr_dedup(
 
     # co-partition docs + removal pairs on hash(id): one union shuffle,
     # spans cut per partition — the driver never holds the pairs
-    tok_type = None
-    for name, typ in zip(ds.schema().names, ds.schema().types):
-        if name == tokens_col:
-            tok_type = typ
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
