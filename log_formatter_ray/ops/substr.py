@@ -304,8 +304,9 @@ def exact_substr_dedup(
     shorter than ``gram_len`` are untouched by construction.  Equivalent
     SQL: rank every length-L gram occurrence with ``row_number() OVER
     (PARTITION BY gram ORDER BY id, pos)``, cut the union of rank>1
-    windows.  See the module docstring for the at-scale plan and the
-    approximate alternatives.
+    windows.  Assumes ``id_col`` values are corpus-unique (the repo-wide
+    doc_id contract — the removal map is keyed on id).  See the module
+    docstring for the at-scale plan and the approximate alternatives.
     """
     L = int(gram_len)
     if L < 2:
