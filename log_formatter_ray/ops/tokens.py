@@ -662,7 +662,54 @@ def dedup_sequences(ds, tokens_col: str = "tokens", id_col: str = "doc_id",
     )
 
 
+# span-corruption chunk size (tokens): the kernel makes ~15 full-length
+# passes (PRN avalanche, span deltas, run scans, event sort) with a ~40
+# B/token working set — chunking rows so that set stays cache-resident
+# applies the MinHash lesson (see ops/dedup._SIG_CHUNK).  The kernel is
+# slice-invariant by construction (PRN = f(hash(doc_id), pos_in_row)),
+# so chunk outputs concatenate byte-identically (pinned by test).
+_SPAN_CHUNK = 1 << 16
+
+
 def span_corrupt_sequences(
+    batch: pa.Table,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    sentinel_base: int = VOCAB_SIZE - 1,
+    seed: int = 42,
+) -> pa.Table:
+    """T5-style span corruption — row-chunked driver around
+    :func:`_span_corrupt_block` (the full semantics doc); each chunk's
+    ~15 flat passes run over a cache-resident slice instead of the whole
+    block."""
+    tokens = batch[tokens_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+        batch = batch.set_column(
+            batch.schema.get_field_index(tokens_col), tokens_col, tokens
+        )
+    off = tokens.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vol = off - off[0]
+    n = len(batch)
+    kw = dict(tokens_col=tokens_col, id_col=id_col,
+              noise_density=noise_density, mean_span=mean_span,
+              sentinel_base=sentinel_base, seed=seed)
+    if int(vol[-1]) <= 2 * _SPAN_CHUNK:
+        return _span_corrupt_block(batch, **kw)
+    marks = np.arange(_SPAN_CHUNK, int(vol[-1]), _SPAN_CHUNK)
+    cut = np.unique(np.concatenate(
+        ([0], np.searchsorted(vol, marks, side="left"), [n])
+    )).astype(np.int64)
+    parts = [
+        _span_corrupt_block(batch.slice(int(c0), int(c1 - c0)), **kw)
+        for c0, c1 in zip(cut[:-1], cut[1:]) if c1 > c0
+    ]
+    return pa.concat_tables(parts)
+
+
+def _span_corrupt_block(
     batch: pa.Table,
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
