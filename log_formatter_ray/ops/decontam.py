@@ -173,21 +173,35 @@ def _token_ngram_hashes(tokens, n: int) -> tuple[np.ndarray, np.ndarray]:
     if total < n:
         return np.empty(0, dtype=np.uint64), row_off
 
+    from log_formatter_ray.ops._chunk import row_chunks
+
     flat = np.asarray(tokens.flatten().to_numpy(zero_copy_only=False),
                       dtype=np.uint64)
-    f = (flat + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
     p = np.uint64(1099511628211)
-    acc = np.zeros(total - n + 1, dtype=np.uint64)
-    for k in range(n):
-        acc = acc * p + f[k : total - n + 1 + k]
-
-    # invalidate windows that cross a row boundary (same mask as the
-    # word-n-gram builder)
-    valid = np.ones(total - n + 1, dtype=bool)
-    bad = (offsets[1:][:, None] - np.arange(1, n)[None, :]).ravel()
-    bad = bad[(bad >= 0) & (bad < valid.size)]
-    valid[bad] = False
-    return acc[valid], row_off
+    # per row-aligned cache-resident chunk: the n multiply-add passes run
+    # over an L2-sized slice instead of the whole block (ops/_chunk.py);
+    # windows never cross rows, so chunk outputs concatenate identically
+    cut = row_chunks(offsets)
+    outs = []
+    for c0, c1 in zip(cut[:-1], cut[1:]):
+        s0, s1 = int(offsets[c0]), int(offsets[c1])
+        tot = s1 - s0
+        if tot < n:
+            continue
+        o = offsets[c0:c1 + 1] - s0
+        f = (flat[s0:s1] + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        acc = np.zeros(tot - n + 1, dtype=np.uint64)
+        for k in range(n):
+            acc = acc * p + f[k: tot - n + 1 + k]
+        # invalidate windows that cross a row boundary (same mask as the
+        # word-n-gram builder)
+        valid = np.ones(tot - n + 1, dtype=bool)
+        bad = (o[1:][:, None] - np.arange(1, n)[None, :]).ravel()
+        bad = bad[(bad >= 0) & (bad < valid.size)]
+        valid[bad] = False
+        outs.append(acc[valid])
+    h = np.concatenate(outs) if outs else np.empty(0, dtype=np.uint64)
+    return h, row_off
 
 
 def benchmark_token_ngram_hashes(

@@ -554,25 +554,40 @@ def _sequence_hash128(tokens: "pa.ListArray") -> tuple[np.ndarray, np.ndarray]:
     h1 = np.zeros(n, np.uint64)
     h2 = np.zeros(n, np.uint64)
     if flat.size:
-        max_len = int(lens.max())
-        # wraparound power tables p^0..p^(max_len-1)
-        pow1 = np.empty(max_len, np.uint64)
-        pow2 = np.empty(max_len, np.uint64)
-        pow1[0] = pow2[0] = 1
-        if max_len > 1:
-            np.multiply.accumulate(np.full(max_len - 1, p1), out=pow1[1:])
-            np.multiply.accumulate(np.full(max_len - 1, p2), out=pow2[1:])
-        # exponent of flat position i = (its row's end − 1 − i)
-        e = (
-            np.repeat(offsets[1:], np.diff(offsets)) - 1
-            - np.arange(flat.size, dtype=np.int64)
-        )
-        nonempty = offsets[:-1] < offsets[1:]
-        starts = offsets[:-1][nonempty]
-        t1 = (flat + np.uint64(1)) * pow1[e]
-        t2 = (flat ^ np.uint64(0x9E3779B97F4A7C15)) * pow2[e]
-        h1[nonempty] = np.add.reduceat(t1, starts)
-        h2[nonempty] = np.add.reduceat(t2, starts)
+        from log_formatter_ray.ops._chunk import row_chunks
+
+        # per row-aligned cache-resident chunk (~6 working arrays — see
+        # ops/_chunk.py); per-row sums are chunk-size-independent
+        cut = row_chunks(offsets)
+        for c0, c1 in zip(cut[:-1], cut[1:]):
+            s0, s1 = int(offsets[c0]), int(offsets[c1])
+            if s1 == s0:
+                continue
+            o = offsets[c0:c1 + 1] - s0
+            fl = flat[s0:s1]
+            lens_c = np.diff(o)
+            max_len = int(lens_c.max())
+            # wraparound power tables p^0..p^(max_len-1)
+            pow1 = np.empty(max_len, np.uint64)
+            pow2 = np.empty(max_len, np.uint64)
+            pow1[0] = pow2[0] = 1
+            if max_len > 1:
+                np.multiply.accumulate(np.full(max_len - 1, p1),
+                                       out=pow1[1:])
+                np.multiply.accumulate(np.full(max_len - 1, p2),
+                                       out=pow2[1:])
+            # exponent of flat position i = (its row's end − 1 − i)
+            e = (
+                np.repeat(o[1:], lens_c) - 1
+                - np.arange(fl.size, dtype=np.int64)
+            )
+            ne = o[:-1] < o[1:]
+            starts = o[:-1][ne]
+            t1 = (fl + np.uint64(1)) * pow1[e]
+            t2 = (fl ^ np.uint64(0x9E3779B97F4A7C15)) * pow2[e]
+            rows_ne = np.arange(int(c0), int(c1))[ne]
+            h1[rows_ne] = np.add.reduceat(t1, starts)
+            h2[rows_ne] = np.add.reduceat(t2, starts)
     h1 = h1 * p1 + lens
     h2 = (h2 ^ lens) * p2
     return h1, h2
